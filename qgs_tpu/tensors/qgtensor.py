@@ -308,8 +308,18 @@ class QgsTensor:
         self._set_tensor(coo)
 
     def _set_tensor(self, coo):
-        self.jacobian_tensor = self.jacobian_from_tensor(coo)
-        self.tensor = self.simplify_tensor(coo)
+        self.jacobian_tensor = self._prune(self.jacobian_from_tensor(coo))
+        self.tensor = self._prune(self.simplify_tensor(coo))
+
+    def _prune(self, coo):
+        """Drop entries that are float noise relative to the largest entry
+        (exact cancellations in the reference's scalar arithmetic show up
+        here as O(eps * |value|) residues after merging symmetric duplicates)."""
+        if coo.nnz == 0:
+            return coo
+        thr = self._prune_rtol * np.abs(coo.data).max()
+        mask = np.abs(coo.data) >= thr
+        return COO(coo.coords[:, mask], coo.data[mask], coo.shape, sum_duplicates=False)
 
     @staticmethod
     def jacobian_from_tensor(tensor: COO) -> COO:
