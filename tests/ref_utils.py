@@ -43,7 +43,13 @@ def compare_to_ref(values, filename, cmax=1):
     for v, r in zip(values, reference):
         diff = sum(1 for c1, c2 in zip(v, r) if c1 != c2) + abs(len(v) - len(r))
         if diff > cmax:
-            bad.append((v, r))
+            # fall back to numeric comparison — a few legacy fixture entries use
+            # a different scientific-notation layout (e.g. -10.000E+00)
+            vk, vv = v.split("=")
+            rk, rv = r.split("=")
+            if vk.strip() != rk.strip() or not np.isclose(float(vv), float(rv),
+                                                          rtol=1e-4, atol=1e-300):
+                bad.append((v, r))
     assert not bad, "mismatches:\n" + "\n".join(f"{v}  !=  {r}" for v, r in bad[:20])
 
 
