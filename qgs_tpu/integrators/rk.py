@@ -1,0 +1,294 @@
+"""
+Runge-Kutta integration (device compute path)
+=============================================
+
+Explicit Runge-Kutta integrators for arbitrary Butcher tableaux, built on
+``jax.lax.scan`` so the whole trajectory loop compiles to a single XLA
+while-loop on device — no per-step host round trips (the reference's design
+point was a Numba per-trajectory loop, ref
+``qgs/integrators/integrate.py:183-223``; here the ensemble axis is batched
+and sharded instead).
+
+Layout conventions:
+
+* states are batched: ``y`` has shape (B, ndim); tangent/fundamental
+  matrices have shape (B, ndim, n_tg).
+* the time grid reproduces the reference semantics:
+  ``time = concat(arange(t0, t, dt), [t])`` — uniform steps plus one
+  (possibly shorter) final step; with ``write_steps = w`` the recorded
+  points are ``time[::w]`` plus the final point if not already recorded.
+* memory: the scan is chunked by the write stride, so only the recorded
+  states are materialized — long transients cost O(1) memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rk4_tableau(dtype=jnp.float64):
+    """The classical RK4 Butcher tableau (reference default)."""
+    c = np.array([0., 0.5, 0.5, 1.])
+    b = np.array([1. / 6, 1. / 3, 1. / 3, 1. / 6])
+    a = np.zeros((4, 4))
+    a[1, 0] = 0.5
+    a[2, 1] = 0.5
+    a[3, 2] = 1.
+    return a, b, c
+
+
+def rk2_tableau(dtype=jnp.float64):
+    """Heun's second-order method."""
+    c = np.array([0., 1.])
+    b = np.array([0.5, 0.5])
+    a = np.zeros((2, 2))
+    a[1, 0] = 1.
+    return a, b, c
+
+
+def time_grid(t0, t, dt):
+    """Reference-compatible integration time grid (host side)."""
+    return np.concatenate((np.arange(t0, t, dt), np.full((1,), t)))
+
+
+def _record_indices(n_points, write_steps):
+    """Indices into the time grid that get recorded (host side)."""
+    idx = list(range(0, n_points, write_steps))
+    if idx[-1] != n_points - 1:
+        idx.append(n_points - 1)
+    return np.array(idx)
+
+
+def make_rk_step(f, a, b, c, dtype=jnp.float64):
+    """Build a single-step function ``step(y, tt, dt) -> y_new`` for the
+    explicit tableau (a, b, c).  The stage loop is unrolled (s is static)."""
+    s = len(b)
+    a = np.asarray(a)
+    b = np.asarray(b)
+    c = np.asarray(c)
+
+    def step(y, tt, dt):
+        k = []
+        for i in range(s):
+            y_s = y
+            for l in range(i):
+                if a[i, l] != 0.0:
+                    y_s = y_s + dt * a[i, l] * k[l]
+            k.append(f(tt + c[i] * dt, y_s))
+        y_new = y
+        for i in range(s):
+            if b[i] != 0.0:
+                y_new = y_new + dt * b[i] * k[i]
+        return y_new
+
+    return step
+
+
+def make_tgls_step(f, fjac, a, b, c, adjoint=False, inverse=False, boundary=None,
+                   dtype=jnp.float64):
+    """Single step of the coupled (trajectory, tangent) system.
+
+    The tangent carries a fundamental-matrix block (B, ndim, n_tg) propagated
+    with d(dx)/dt = +-J(x) dx (or J^T for the adjoint) plus an optional
+    inhomogeneous boundary term Psi(t, x) (ref ``integrate.py:556-614``).
+    """
+    s = len(b)
+    a = np.asarray(a)
+    b = np.asarray(b)
+    c = np.asarray(c)
+    sign = -1.0 if inverse else 1.0
+
+    def tangent_rhs(t, y_s, dm):
+        J = fjac(t, y_s)                      # (B, n, n)
+        if adjoint:
+            hom = sign * jnp.einsum('bnm,bnt->bmt', J, dm)
+        else:
+            hom = sign * jnp.einsum('bnm,bmt->bnt', J, dm)
+        if boundary is not None:
+            hom = hom + boundary(t, y_s)
+        return hom
+
+    def step(carry, tt, dt):
+        y, dm = carry
+        k, km = [], []
+        for i in range(s):
+            y_s, dm_s = y, dm
+            for l in range(i):
+                if a[i, l] != 0.0:
+                    y_s = y_s + dt * a[i, l] * k[l]
+                    dm_s = dm_s + dt * a[i, l] * km[l]
+            ts = tt + c[i] * dt
+            k.append(f(ts, y_s))
+            km.append(tangent_rhs(ts, y_s, dm_s))
+        y_new, dm_new = y, dm
+        for i in range(s):
+            if b[i] != 0.0:
+                y_new = y_new + dt * b[i] * k[i]
+                dm_new = dm_new + dt * b[i] * km[i]
+        return y_new, dm_new
+
+    return step
+
+
+def _scan_chunks(step_pytree, carry0, td_all, write_steps):
+    """Scan the step function over the full time grid, materializing the
+    carry only every ``write_steps`` steps (0 = final state only).
+
+    Implementation: one outer ``lax.scan`` over record chunks, each chunk an
+    inner ``lax.scan`` of ``write_steps`` steps — O(n_records) memory, a
+    single compiled while-loop on device.
+
+    ``td_all`` is the (n_steps, 2) array of (t, dt) pairs.
+    Returns ``(final_carry, records)`` where ``records`` is a carry pytree
+    with a leading record axis (time indices 0, w, 2w, ..., final).
+    """
+    n_steps = td_all.shape[0]
+
+    def run_plain(carry, td):
+        def body(ca, t_d):
+            return step_pytree(ca, t_d[0], t_d[1]), None
+
+        ca, _ = jax.lax.scan(body, carry, td)
+        return ca
+
+    if write_steps == 0:
+        final = run_plain(carry0, td_all)
+        return final, jax.tree_util.tree_map(lambda x: x[None], final)
+
+    w = write_steps
+    k = n_steps // w
+    rem = n_steps - k * w
+
+    parts = [jax.tree_util.tree_map(lambda x: x[None], carry0)]
+    carry = carry0
+    if k > 0:
+        def chunk_body(ca, td_chunk):
+            ca = run_plain(ca, td_chunk)
+            return ca, ca
+
+        carry, stacked = jax.lax.scan(chunk_body, carry0, td_all[:k * w].reshape(k, w, 2))
+        parts.append(stacked)
+    if rem > 0:
+        carry = run_plain(carry, td_all[k * w:])
+        parts.append(jax.tree_util.tree_map(lambda x: x[None], carry))
+    records = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    return carry, records
+
+
+# ---------------------------------------------------------------------------
+# compiled-integrator cache
+# ---------------------------------------------------------------------------
+#
+# Each distinct (tendency fn, tableau, write stride, tangent options) pair
+# compiles one scan; subsequent calls with the same time-grid length reuse
+# the jitted executable (jit caches by input shapes).
+
+_SCAN_CACHE = {}
+
+
+def _tableau_key(a, b, c):
+    return (np.asarray(a).tobytes(), np.asarray(b).tobytes(), np.asarray(c).tobytes())
+
+
+def _get_plain_scan(f, a, b, c, write_steps):
+    key = (id(f), _tableau_key(a, b, c), write_steps, 'plain')
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        step = make_rk_step(f, a, b, c)
+        fn = jax.jit(lambda carry0, td: _scan_chunks(lambda y, tt, dt_: step(y, tt, dt_),
+                                                     carry0, td, write_steps))
+        _SCAN_CACHE[key] = fn
+    return fn
+
+
+def _get_tgls_scan(f, fjac, a, b, c, write_steps, adjoint, inverse, boundary):
+    key = (id(f), id(fjac), _tableau_key(a, b, c), write_steps, adjoint, inverse,
+           None if boundary is None else id(boundary))
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        step = make_tgls_step(f, fjac, a, b, c, adjoint=adjoint, inverse=inverse,
+                              boundary=boundary)
+        fn = jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
+        _SCAN_CACHE[key] = fn
+    return fn
+
+
+def integrate_runge_kutta(f, t0, t, dt, ic, forward=True, write_steps=1,
+                          b=None, c=None, a=None):
+    """Integrate dx/dt = f(t, x) over [t0, t] for a batch of initial
+    conditions; reference-compatible wrapper returning
+    ``(times, traj)`` with traj shaped (B, ndim, n_records) (squeezed).
+
+    ``f`` must be a *batched* tendency function (B, ndim) -> (B, ndim).
+    """
+    ic = jnp.atleast_2d(jnp.asarray(ic))
+    if a is None and b is None and c is None:
+        a, b, c = rk4_tableau()
+
+    time = time_grid(t0, t, dt)
+    directed = time if forward else time[::-1]
+    tts, dts = directed[:-1], np.diff(directed)
+
+    scan_fn = _get_plain_scan(f, a, b, c, write_steps)
+    td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
+    _, recs = scan_fn(ic, td_all)
+    traj = jnp.moveaxis(recs, 0, -1)           # (B, ndim, n_records)
+
+    if not forward:
+        traj = traj[..., ::-1]
+
+    if write_steps > 0:
+        rec = _record_indices(len(time), write_steps)
+        rec_times = time[rec] if forward else time[::-1][rec][::-1]
+        return rec_times, jnp.squeeze(traj)
+    return time[-1], jnp.squeeze(traj)
+
+
+def integrate_runge_kutta_tgls(f, fjac, t0, t, dt, ic, tg_ic, forward=True,
+                               adjoint=False, inverse=False, boundary=None,
+                               write_steps=1, b=None, c=None, a=None):
+    """Integrate the coupled (trajectory, tangent-linear) system.
+
+    ``tg_ic`` may be (ndim,), (B, ndim) or (B, ndim, n_tg) — a fundamental
+    matrix of tangent vectors is propagated in the last case.
+    Returns ``(times, traj, fmatrix)`` (reference shapes, squeezed).
+    """
+    ic = jnp.atleast_2d(jnp.asarray(ic))
+    B, n = ic.shape
+    tg = jnp.asarray(tg_ic)
+    if tg.ndim == 1:
+        tg = jnp.broadcast_to(tg[None, :, None], (B, n, 1))
+    elif tg.ndim == 2:
+        if tg.shape[0] == B and tg.shape[1] == n:
+            tg = tg[:, :, None]
+        else:   # (n_tg, ndim) matrix shared across the batch
+            tg = jnp.broadcast_to(tg.T[None, :, :], (B, n, tg.shape[0]))
+    elif tg.ndim == 3 and tg.shape[1] != n:
+        tg = jnp.swapaxes(tg, 1, 2)
+
+    if a is None and b is None and c is None:
+        a, b, c = rk4_tableau()
+
+    time = time_grid(t0, t, dt)
+    directed = time if forward else time[::-1]
+    tts, dts = directed[:-1], np.diff(directed)
+
+    scan_fn = _get_tgls_scan(f, fjac, a, b, c, write_steps, adjoint, inverse, boundary)
+    td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
+    _, recs = scan_fn((ic, tg), td_all)
+    traj = jnp.moveaxis(recs[0], 0, -1)        # (B, ndim, n_records)
+    fmat = jnp.moveaxis(recs[1], 0, -1)        # (B, ndim, n_tg, n_records)
+
+    if not forward:
+        traj = traj[..., ::-1]
+        fmat = fmat[..., ::-1]
+
+    if write_steps > 0:
+        rec = _record_indices(len(time), write_steps)
+        rec_times = time[rec] if forward else time[::-1][rec][::-1]
+        return rec_times, jnp.squeeze(traj), jnp.squeeze(fmat)
+    return time[-1], jnp.squeeze(traj), jnp.squeeze(fmat)

@@ -1,0 +1,83 @@
+"""Trajectory fidelity: the JAX scan integrator must match the
+reference-semantics NumPy backend allclose over N RK4 steps, for both the
+RP atmosphere-only and the coupled MAOOAM configurations
+(driver gate, see BASELINE.json)."""
+
+import numpy as np
+import pytest
+
+from qgs_tpu.params.params import QgParams
+from qgs_tpu.models.tendencies import create_tendencies
+from qgs_tpu.models.numpy_backend import (
+    make_numpy_tendencies, integrate_runge_kutta_numpy,
+)
+from qgs_tpu.integrators.rk import integrate_runge_kutta
+
+
+def _rp_params():
+    pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.1})
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.ground_params.set_orography(0.2, 1)
+    pars.atemperature_params.set_thetas(0.2, 0)
+    return pars
+
+
+def _maooam_params():
+    pars = QgParams()
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.set_oceanic_basin_fourier_modes(2, 4)
+    pars.set_params({'kd': 0.0290, 'kdp': 0.0290, 'n': 1.5, 'r': 1.e-7,
+                     'h': 136.5, 'd': 1.1e-7})
+    pars.atemperature_params.set_params({'eps': 0.7, 'T0': 289.3, 'hlambda': 15.06})
+    pars.gotemperature_params.set_params({'gamma': 5.6e8, 'T0': 301.46})
+    pars.atemperature_params.set_insolation(103.3333, 0)
+    pars.gotemperature_params.set_insolation(310., 0)
+    return pars
+
+
+@pytest.mark.parametrize("make_params,label", [(_rp_params, "rp"),
+                                               (_maooam_params, "maooam")])
+def test_trajectory_matches_reference_semantics(make_params, label):
+    pars = make_params()
+    f, Df, tensor = create_tendencies(pars, return_qgtensor=True)
+    fn, _ = make_numpy_tendencies(tensor.tensor, tensor.jacobian_tensor)
+
+    rng = np.random.default_rng(21217)
+    ic = rng.random(pars.ndim) * 0.01
+
+    # point check of the tendencies themselves
+    fx_jax = np.asarray(f(0., ic))
+    fx_np = fn(0., ic)
+    assert np.allclose(fx_jax, fx_np, rtol=1e-12, atol=1e-14)
+
+    # 300 RK4 steps (exact reference summation order on the NumPy side)
+    t_np, y_np = integrate_runge_kutta_numpy(fn, 0., 30., 0.1, ic, write_steps=5)
+    t_jx, y_jx = integrate_runge_kutta(f.batched, 0., 30., 0.1, ic, write_steps=5)
+    assert np.allclose(t_np, t_jx)
+    assert np.allclose(np.asarray(y_jx), y_np, rtol=1e-9, atol=1e-11), \
+        f"{label}: max abs err {np.abs(np.asarray(y_jx) - y_np).max()}"
+
+
+def test_ensemble_batch_consistency():
+    """A batch of ICs integrated together must match per-IC integration."""
+    pars = _rp_params()
+    f, Df = create_tendencies(pars)
+    rng = np.random.default_rng(7)
+    ics = rng.random((4, pars.ndim)) * 0.01
+
+    _, traj_batch = integrate_runge_kutta(f.batched, 0., 10., 0.1, ics, write_steps=0)
+    for i in range(4):
+        _, traj_one = integrate_runge_kutta(f.batched, 0., 10., 0.1, ics[i], write_steps=0)
+        assert np.allclose(np.asarray(traj_batch)[i], np.asarray(traj_one),
+                           rtol=1e-12, atol=1e-13)
+
+
+def test_write_steps_semantics():
+    """Record grid must match the reference: time[::w] plus the final point."""
+    pars = _rp_params()
+    f, _ = create_tendencies(pars)
+    ic = np.full(pars.ndim, 0.01)
+    t, y = integrate_runge_kutta(f.batched, 0., 1.05, 0.1, ic, write_steps=5)
+    # time grid: arange(0, 1.05, .1) (11 pts) + [1.05] -> 12 points, ticks 0,5,10 + final 11
+    assert len(t) == 4
+    assert y.shape == (pars.ndim, 4)
