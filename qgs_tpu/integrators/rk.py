@@ -218,7 +218,7 @@ def _get_tgls_scan(f, fjac, a, b, c, write_steps, adjoint, inverse, boundary):
 
 
 def integrate_runge_kutta(f, t0, t, dt, ic, forward=True, write_steps=1,
-                          b=None, c=None, a=None):
+                          b=None, c=None, a=None, squeeze=True):
     """Integrate dx/dt = f(t, x) over [t0, t] for a batch of initial
     conditions; reference-compatible wrapper returning
     ``(times, traj)`` with traj shaped (B, ndim, n_records) (squeezed).
@@ -241,6 +241,12 @@ def integrate_runge_kutta(f, t0, t, dt, ic, forward=True, write_steps=1,
     if not forward:
         traj = traj[..., ::-1]
 
+    if not squeeze:
+        if write_steps > 0:
+            rec = _record_indices(len(time), write_steps)
+            rec_times = time[rec] if forward else time[::-1][rec][::-1]
+            return rec_times, traj
+        return time[-1], traj[..., -1]
     if write_steps > 0:
         rec = _record_indices(len(time), write_steps)
         rec_times = time[rec] if forward else time[::-1][rec][::-1]

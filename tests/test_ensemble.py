@@ -1,0 +1,75 @@
+"""Ensemble integrator classes + mesh sharding over the 8-device virtual CPU
+mesh (conftest forces JAX_PLATFORMS=cpu with 8 host devices)."""
+
+import jax
+import numpy as np
+
+from qgs_tpu.params.params import QgParams
+from qgs_tpu.models.tendencies import create_tendencies
+from qgs_tpu.integrators.integrator import RungeKuttaIntegrator, RungeKuttaTglsIntegrator
+from qgs_tpu.parallel.mesh import ensemble_mesh, shard_ensemble
+
+
+def _system():
+    pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.1})
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.ground_params.set_orography(0.2, 1)
+    pars.atemperature_params.set_thetas(0.2, 0)
+    f, Df = create_tendencies(pars)
+    return pars, f, Df
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_ensemble_integration():
+    pars, f, Df = _system()
+    integrator = RungeKuttaIntegrator()
+    integrator.set_func(f)
+
+    rng = np.random.default_rng(0)
+    ics = rng.random((16, pars.ndim)) * 0.1      # 2 trajectories per device
+    integrator.integrate(0., 20., 0.1, ic=ics, write_steps=10)
+    t, y = integrator.get_trajectories()
+    assert y.shape == (16, pars.ndim, len(t))
+
+    # must agree with unsharded batch integration
+    integ1 = RungeKuttaIntegrator(mesh=ensemble_mesh(jax.devices()[:1]))
+    integ1.set_func(f)
+    integ1.integrate(0., 20., 0.1, ic=ics, write_steps=10)
+    _, y1 = integ1.get_trajectories()
+    assert np.allclose(y, y1, rtol=1e-12, atol=1e-13)
+
+
+def test_sharding_layout():
+    mesh = ensemble_mesh()
+    arr = np.ones((16, 20))
+    sharded, n = shard_ensemble(arr, mesh)
+    assert n == 16
+    assert len(sharded.sharding.device_set) == 8
+
+
+def test_initialize_reconverge():
+    pars, f, Df = _system()
+    integrator = RungeKuttaIntegrator(number_of_dimensions=pars.ndim)
+    integrator.set_func(f)
+    integrator.initialize(10., 0.1, number_of_trajectories=8,
+                          reconvergence_time=1., reconverge=True)
+    assert integrator.ic.shape == (8, pars.ndim)
+    assert np.all(np.isfinite(integrator.ic))
+    # the perturbed ensemble members must have diverged from one another
+    assert np.std(integrator.ic, axis=0).max() > 0
+
+
+def test_tgls_integrator_class():
+    pars, f, Df = _system()
+    tint = RungeKuttaTglsIntegrator()
+    tint.set_func(f, Df)
+    ic = np.full(pars.ndim, 0.01)
+    dy = np.full(pars.ndim, 1e-4)
+    tint.integrate(0., 1., 0.1, ic=ic, tg_ic=dy, write_steps=0)
+    t, y, dyf = tint.get_trajectories()
+    assert y.shape == (pars.ndim,)
+    assert dyf.shape == (pars.ndim,)
+    assert np.all(np.isfinite(dyf))
