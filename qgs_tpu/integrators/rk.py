@@ -77,12 +77,12 @@ def make_rk_step(f, a, b, c, dtype=jnp.float64):
             y_s = y
             for l in range(i):
                 if a[i, l] != 0.0:
-                    y_s = y_s + dt * a[i, l] * k[l]
-            k.append(f(tt + c[i] * dt, y_s))
+                    y_s = y_s + dt * float(a[i, l]) * k[l]
+            k.append(f(tt + float(c[i]) * dt, y_s))
         y_new = y
         for i in range(s):
             if b[i] != 0.0:
-                y_new = y_new + dt * b[i] * k[i]
+                y_new = y_new + dt * float(b[i]) * k[i]
         return y_new
 
     return step
@@ -119,16 +119,16 @@ def make_tgls_step(f, fjac, a, b, c, adjoint=False, inverse=False, boundary=None
             y_s, dm_s = y, dm
             for l in range(i):
                 if a[i, l] != 0.0:
-                    y_s = y_s + dt * a[i, l] * k[l]
-                    dm_s = dm_s + dt * a[i, l] * km[l]
-            ts = tt + c[i] * dt
+                    y_s = y_s + dt * float(a[i, l]) * k[l]
+                    dm_s = dm_s + dt * float(a[i, l]) * km[l]
+            ts = tt + float(c[i]) * dt
             k.append(f(ts, y_s))
             km.append(tangent_rhs(ts, y_s, dm_s))
         y_new, dm_new = y, dm
         for i in range(s):
             if b[i] != 0.0:
-                y_new = y_new + dt * b[i] * k[i]
-                dm_new = dm_new + dt * b[i] * km[i]
+                y_new = y_new + dt * float(b[i]) * k[i]
+                dm_new = dm_new + dt * float(b[i]) * km[i]
         return y_new, dm_new
 
     return step
