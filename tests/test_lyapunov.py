@@ -1,0 +1,122 @@
+"""Lyapunov toolbox validation on the Lorenz-63 system, whose spectrum is
+known: (0.906, 0, -14.57) at the classical parameters."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgs_tpu.toolbox.lyapunov import (
+    compute_backward_lyapunovs, compute_forward_lyapunovs,
+    compute_clvs_ginelli, compute_clvs_subspace,
+    LyapunovsEstimator, CovariantLyapunovsEstimator,
+)
+from qgs_tpu.integrators.rk import integrate_runge_kutta
+
+SIGMA, RHO, BETA = 10., 28., 8. / 3.
+L63_SPECTRUM = np.array([0.906, 0.0, -14.572])
+
+
+def f63(t, x):
+    return jnp.stack([SIGMA * (x[:, 1] - x[:, 0]),
+                      RHO * x[:, 0] - x[:, 1] - x[:, 0] * x[:, 2],
+                      x[:, 0] * x[:, 1] - BETA * x[:, 2]], axis=1)
+
+
+def Df63(t, x):
+    B = x.shape[0]
+    z = jnp.zeros(B)
+    o = jnp.ones(B)
+    return jnp.stack([
+        jnp.stack([-SIGMA * o, SIGMA * o, z], axis=1),
+        jnp.stack([RHO - x[:, 2], -o, -x[:, 0]], axis=1),
+        jnp.stack([x[:, 1], x[:, 0], -BETA * o], axis=1),
+    ], axis=1)
+
+
+@pytest.fixture(scope="module")
+def attractor_ic():
+    ic = np.array([[1., 1., 1.], [-3., 2., 20.]])
+    _, y = integrate_runge_kutta(f63, 0., 50., 0.01, ic, write_steps=0)
+    return np.asarray(y)
+
+
+def test_backward_lyapunovs_spectrum(attractor_ic):
+    t, traj, exps, vecs = compute_backward_lyapunovs(
+        f63, Df63, 0., 20., 120., 0.01, 0.01, attractor_ic, write_steps=1)
+    mean_exps = np.asarray(exps).mean(axis=-1)      # (B, 3)
+    for b in range(2):
+        assert np.allclose(mean_exps[b], L63_SPECTRUM, atol=0.35), mean_exps[b]
+    # vectors orthonormal
+    v = np.asarray(vecs)[0, :, :, -1]
+    assert np.allclose(v.T @ v, np.eye(3), atol=1e-10)
+    # exponent sum ~ divergence = -(sigma + 1 + beta)
+    assert abs(mean_exps[0].sum() - (-(SIGMA + 1 + BETA))) < 0.3
+
+
+def test_forward_lyapunovs_spectrum(attractor_ic):
+    t, traj, exps, vecs = compute_forward_lyapunovs(
+        f63, Df63, 0., 100., 120., 0.01, 0.01, attractor_ic, write_steps=1)
+    mean_exps = np.asarray(exps).mean(axis=-1)
+    # FLV columns converge under the backward dynamics, so they come out in
+    # ascending-exponent order (the reference's convention as well)
+    for b in range(2):
+        assert np.allclose(mean_exps[b][::-1], L63_SPECTRUM, atol=0.35), mean_exps[b]
+
+
+def test_clvs_ginelli(attractor_ic):
+    t, traj, exps, vecs = compute_clvs_ginelli(
+        f63, Df63, 0., 20., 60., 80., 0.01, 0.01, attractor_ic[:1], write_steps=1)
+    mean_exps = np.asarray(exps).mean(axis=-1)
+    assert np.allclose(np.sort(mean_exps)[::-1], L63_SPECTRUM, atol=0.5), mean_exps
+    # CLVs are norm-1 but NOT orthogonal in general
+    v = np.asarray(vecs)[:, :, 100]
+    assert np.allclose(np.linalg.norm(v, axis=0), 1., atol=1e-8)
+    # first CLV should align with the first BLV
+    _, _, _, bv = compute_backward_lyapunovs(
+        f63, Df63, 0., 20., 60., 0.01, 0.01, attractor_ic[:1], write_steps=1)
+    b1 = np.asarray(bv)[:, 0, 100]
+    c1 = v[:, 0]
+    assert abs(abs(np.dot(b1, c1)) - 1.) < 1e-6
+
+
+def test_clvs_covariance_property(attractor_ic):
+    """The defining property: the tangent flow maps CLV_j(t) onto
+    span(CLV_j(t+dt)) — check alignment after one window."""
+    from qgs_tpu.integrators.rk import make_tgls_step, rk4_tableau
+    t, traj, exps, vecs = compute_clvs_ginelli(
+        f63, Df63, 0., 20., 60., 90., 0.01, 0.01, attractor_ic[:1], write_steps=1)
+    traj = np.asarray(traj)
+    vecs = np.asarray(vecs)
+    a, b, c = rk4_tableau()
+    step = make_tgls_step(f63, Df63, a, b, c)
+    k = 500
+    y = jnp.asarray(traj[:, k][None])
+    V = jnp.asarray(vecs[:, :, k][None])
+    _, V2 = step((y, V), jnp.asarray(0.0), jnp.asarray(0.01))
+    V2 = np.array(V2)[0]
+    V2 /= np.linalg.norm(V2, axis=0)
+    for j in range(3):
+        d = abs(np.dot(V2[:, j], vecs[:, j, k + 1]))
+        assert d > 0.999, (j, d)
+
+
+def test_clvs_subspace_method(attractor_ic):
+    out = compute_clvs_subspace(
+        f63, Df63, 0., 20., 60., 90., 0.01, 0.01, attractor_ic[:1], write_steps=1)
+    t, traj, exps, vecs = out
+    mean_exps = np.asarray(exps).mean(axis=-1)
+    assert np.allclose(np.sort(mean_exps)[::-1], L63_SPECTRUM, atol=0.6), mean_exps
+
+
+def test_estimator_classes(attractor_ic):
+    est = LyapunovsEstimator()
+    est.set_func(f63, Df63)
+    est.compute_lyapunovs(0., 20., 60., 0.01, 0.01, attractor_ic[0], write_steps=5)
+    t, traj, exps, vecs = est.get_lyapunovs()
+    assert np.allclose(exps.mean(axis=-1), L63_SPECTRUM, atol=0.6)
+
+    cest = CovariantLyapunovsEstimator()
+    cest.set_func(f63, Df63)
+    cest.compute_clvs(0., 20., 50., 70., 0.01, 0.01, attractor_ic[0], write_steps=5)
+    t, traj, exps, vecs = cest.get_clvs()
+    assert np.isfinite(exps).all()
