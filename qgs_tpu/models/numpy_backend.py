@@ -35,7 +35,7 @@ def sparse_mul3(coords, data, vec1, vec2):
 
 
 def sparse_mul2(coords, data, vec):
-    """mat_{ij} = sum_e data[e] vec[k_e] at (i_e, j_e)."""
+    """mat_{ij} = sum_k T_{ijk} vec_k (column at axis 1, ref convention)."""
     n = vec.shape[0]
     res = np.zeros((n, n))
     for e in range(data.shape[0]):
@@ -54,11 +54,12 @@ def sparse_mul5(coords, data, v1, v2, v3, v4):
 
 
 def sparse_mul4(coords, data, v1, v2, v3):
+    """mat_{ij} = sum_klm T_{ijklm} v1_k v2_l v3_m (ref convention)."""
     n = v1.shape[0]
     res = np.zeros((n, n))
     for e in range(data.shape[0]):
         i, j, k, l, m = coords[:, e]
-        res[i, m] += data[e] * v1[j] * v2[k] * v3[l]
+        res[i, j] += data[e] * v1[k] * v2[l] * v3[m]
     return res
 
 
@@ -108,7 +109,7 @@ def make_numpy_tendencies_fast(tensor: COO, jtensor: COO):
 
         def Df(t, x):
             xx = np.concatenate((np.full((1,), 1.), x))
-            flat = np.bincount(ji_ * n1 + jk_, weights=jdata * xx[jj_],
+            flat = np.bincount(ji_ * n1 + jj_, weights=jdata * xx[jk_],
                                minlength=n1 * n1)
             return flat.reshape(n1, n1)[1:, 1:]
     else:
@@ -123,7 +124,7 @@ def make_numpy_tendencies_fast(tensor: COO, jtensor: COO):
 
         def Df(t, x):
             xx = np.concatenate((np.full((1,), 1.), x))
-            flat = np.bincount(ji_ * n1 + jm_, weights=jdata * xx[jj_] * xx[jk_] * xx[jl_],
+            flat = np.bincount(ji_ * n1 + jj_, weights=jdata * xx[jk_] * xx[jl_] * xx[jm_],
                                minlength=n1 * n1)
             return flat.reshape(n1, n1)[1:, 1:]
 

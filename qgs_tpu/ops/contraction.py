@@ -59,12 +59,14 @@ def make_dense_quadratic(tensor: COO, dtype=None):
 
 
 def make_dense_bilinear(jtensor: COO, dtype=None):
-    """Return ``J(xx) -> (B, n1, n1)`` with ``J[b,i,m] = sum_j JT[i,j,m] xx[b,j]``."""
+    """Return ``J(xx) -> (B, n1, n1)`` with ``J[b,i,j] = sum_k JT[i,j,k] xx[b,k]``
+    (reference convention: the Jacobian column is axis 1 of the jacobian
+    tensor, contraction over the trailing axis, ref ``sparse_mul.py:14-45``)."""
     dtype = dtype or _default_dtype()
     JT = jnp.asarray(jtensor.todense(), dtype=dtype)
     n1 = JT.shape[0]
-    # (B, n1) @ (n1, n1*n1): contract the middle index j
-    J2 = JT.transpose(1, 0, 2).reshape(n1, n1 * n1)
+    # (B, n1) @ (n1, n1*n1): contract the trailing index k
+    J2 = JT.transpose(2, 0, 1).reshape(n1, n1 * n1)
 
     def jac(xx):
         return (xx @ J2).reshape(xx.shape[0], n1, n1)
@@ -112,8 +114,10 @@ def make_coo_contraction(tensor: COO, dtype=None):
 
 def make_coo_jacobian(jtensor: COO, dtype=None):
     """Return ``J(xx) -> (B, n1, n1)`` for a COO Jacobian tensor of rank r:
-    ``J[b, i, m] = sum_e val[e] * prod_{axis=1..r-2} xx[b, coords[axis,e]]``
-    scattered at ``(i, m) = (coords[0,e], coords[r-1,e])``."""
+    ``J[b, i, j] = sum_e val[e] * prod_{axis=2..r-1} xx[b, coords[axis,e]]``
+    scattered at ``(i, j) = (coords[0,e], coords[1,e])`` — the reference's
+    ``sparse_mul2``/``sparse_mul4`` convention (column at axis 1, contraction
+    over the trailing axes)."""
     dtype = dtype or _default_dtype()
     coords = jtensor.coords
     rank = jtensor.rank
@@ -125,8 +129,8 @@ def make_coo_jacobian(jtensor: COO, dtype=None):
         return empty
 
     val = jnp.asarray(jtensor.data, dtype=dtype)
-    idxs = [jnp.asarray(coords[axis]) for axis in range(1, rank - 1)]
-    flat_out = coords[0] * n1 + coords[rank - 1]
+    idxs = [jnp.asarray(coords[axis]) for axis in range(2, rank)]
+    flat_out = coords[0] * n1 + coords[1]
     scatter = np.zeros((jtensor.nnz, n1 * n1), dtype=np.float64)
     scatter[np.arange(jtensor.nnz), flat_out] = 1.0
     S = jnp.asarray(scatter, dtype=dtype)
