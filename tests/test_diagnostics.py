@@ -1,0 +1,200 @@
+"""Diagnostics layer: field reconstruction correctness and the full catalog
+smoke-tested on short RP and MAOOAM trajectories."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from qgs_tpu.params.params import QgParams
+from qgs_tpu.models.tendencies import create_tendencies
+from qgs_tpu.integrators.integrator import RungeKuttaIntegrator
+
+
+@pytest.fixture(scope="module")
+def rp_traj():
+    pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.1})
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.ground_params.set_orography(0.2, 1)
+    pars.atemperature_params.set_thetas(0.2, 0)
+    f, Df = create_tendencies(pars)
+    integ = RungeKuttaIntegrator()
+    integ.set_func(f)
+    ic = np.random.default_rng(0).random(pars.ndim) * 0.05
+    integ.integrate(0., 20., 0.1, ic=ic, write_steps=20)
+    t, traj = integ.get_trajectories()
+    return pars, t, traj
+
+
+@pytest.fixture(scope="module")
+def maooam_traj():
+    pars = QgParams()
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.set_oceanic_basin_fourier_modes(2, 4)
+    f, Df = create_tendencies(pars)
+    integ = RungeKuttaIntegrator()
+    integ.set_func(f)
+    ic = np.random.default_rng(0).random(pars.ndim) * 0.05
+    integ.integrate(0., 20., 0.1, ic=ic, write_steps=20)
+    t, traj = integ.get_trajectories()
+    return pars, t, traj
+
+
+def test_streamfunction_reconstruction_exact(rp_traj):
+    """psi at a point must equal the explicit mode sum."""
+    from qgs_tpu.diagnostics.streamfunctions import (
+        MiddleAtmosphericStreamfunctionDiagnostic,
+    )
+    pars, t, traj = rp_traj
+    psi = MiddleAtmosphericStreamfunctionDiagnostic(pars, dimensional=False)
+    field = psi(t, traj)
+    X, Y = psi.grid
+    funcs = pars.atmospheric_basis.num_functions()
+    k = 3   # record index
+    iy, ix = 20, 30
+    expected = sum(traj[i, k] * funcs[i](X[iy, ix], Y[iy, ix])
+                   for i in range(pars.nmod[0]))
+    assert np.isclose(field[k, iy, ix], expected, rtol=1e-12)
+
+
+def test_layer_combinations(rp_traj):
+    from qgs_tpu.diagnostics.streamfunctions import (
+        LowerLayerAtmosphericStreamfunctionDiagnostic,
+        UpperLayerAtmosphericStreamfunctionDiagnostic,
+        MiddleAtmosphericStreamfunctionDiagnostic,
+    )
+    pars, t, traj = rp_traj
+    lo = LowerLayerAtmosphericStreamfunctionDiagnostic(pars)(t, traj)
+    up = UpperLayerAtmosphericStreamfunctionDiagnostic(pars)(t, traj)
+    mid = MiddleAtmosphericStreamfunctionDiagnostic(pars)(t, traj)
+    assert np.allclose((lo + up) / 2, mid, rtol=1e-10)
+
+
+def test_wind_is_derivative_of_streamfunction(rp_traj):
+    from qgs_tpu.diagnostics.wind import MiddleAtmosphericUWindDiagnostic
+    from qgs_tpu.diagnostics.streamfunctions import (
+        MiddleAtmosphericStreamfunctionDiagnostic,
+    )
+    pars, t, traj = rp_traj
+    U = MiddleAtmosphericUWindDiagnostic(pars, dimensional=False)(t, traj)
+    psi = MiddleAtmosphericStreamfunctionDiagnostic(pars, dimensional=False)(t, traj)
+    X, Y = MiddleAtmosphericUWindDiagnostic(pars).grid
+    dy = Y[1, 0] - Y[0, 0]
+    dpsi_dy = np.gradient(psi, dy, axis=1)
+    # U = -dpsi/dy (compare away from boundaries, fd error ~ dy^2)
+    assert np.allclose(U[:, 5:-5, :], -dpsi_dy[:, 5:-5, :], atol=2e-3)
+
+
+def test_full_catalog_smoke_rp(rp_traj):
+    from qgs_tpu.diagnostics.streamfunctions import (
+        LowerLayerAtmosphericStreamfunctionDiagnostic,
+        UpperLayerAtmosphericStreamfunctionDiagnostic,
+        MiddleAtmosphericStreamfunctionDiagnostic,
+    )
+    from qgs_tpu.diagnostics.temperatures import (
+        MiddleAtmosphericTemperatureAnomalyDiagnostic,
+        MiddleAtmosphericTemperatureDiagnostic,
+        AtmosphericTemperatureMeridionalGradientDiagnostic,
+    )
+    from qgs_tpu.diagnostics.wind import (
+        LowerLayerAtmosphericUWindDiagnostic, LowerLayerAtmosphericVWindDiagnostic,
+        MiddleAtmosphericUWindDiagnostic, MiddleAtmosphericVWindDiagnostic,
+        UpperLayerAtmosphericUWindDiagnostic, UpperLayerAtmosphericVWindDiagnostic,
+        MiddleAtmosphericWindIntensityDiagnostic, MiddleLayerVerticalVelocity,
+    )
+    from qgs_tpu.diagnostics.vorticity import (
+        LowerLayerAtmosphericVorticityDiagnostic,
+        MiddleAtmosphericVorticityDiagnostic,
+        UpperLayerAtmosphericVorticityDiagnostic,
+        UpperLayerAtmosphericPotentialVorticityDiagnostic,
+        LowerLayerAtmosphericPotentialVorticityDiagnostic,
+    )
+    from qgs_tpu.diagnostics.eddy import (
+        MiddleAtmosphericEddyHeatFluxDiagnostic,
+        MiddleAtmosphericEddyHeatFluxProfileDiagnostic,
+    )
+    from qgs_tpu.diagnostics.variables import (
+        VariablesDiagnostic, GeopotentialHeightDifferenceDiagnostic,
+    )
+
+    pars, t, traj = rp_traj
+    hd_t0 = pars.atemperature_params
+    classes = [
+        LowerLayerAtmosphericStreamfunctionDiagnostic,
+        UpperLayerAtmosphericStreamfunctionDiagnostic,
+        MiddleAtmosphericStreamfunctionDiagnostic,
+        MiddleAtmosphericTemperatureAnomalyDiagnostic,
+        AtmosphericTemperatureMeridionalGradientDiagnostic,
+        LowerLayerAtmosphericUWindDiagnostic, LowerLayerAtmosphericVWindDiagnostic,
+        MiddleAtmosphericUWindDiagnostic, MiddleAtmosphericVWindDiagnostic,
+        UpperLayerAtmosphericUWindDiagnostic, UpperLayerAtmosphericVWindDiagnostic,
+        MiddleAtmosphericWindIntensityDiagnostic,
+        MiddleLayerVerticalVelocity,
+        LowerLayerAtmosphericVorticityDiagnostic,
+        MiddleAtmosphericVorticityDiagnostic,
+        UpperLayerAtmosphericVorticityDiagnostic,
+        UpperLayerAtmosphericPotentialVorticityDiagnostic,
+        LowerLayerAtmosphericPotentialVorticityDiagnostic,
+    ]
+    for cls in classes:
+        d = cls(pars)
+        out = d(t, traj)
+        assert out is not None and np.all(np.isfinite(out)), cls.__name__
+        ax = d.plot(time_index=0)
+        assert ax is not None
+
+    vd = VariablesDiagnostic([0, 1, 2], pars)
+    out = vd(t, traj)
+    assert out.shape == (3, len(t))
+
+    gd = GeopotentialHeightDifferenceDiagnostic(
+        [((np.pi / 1.5, np.pi / 4), (np.pi / 1.5, 3 * np.pi / 4))], pars)
+    out = gd(t, traj)
+    assert out.shape == (1, len(t))
+
+
+def test_ocean_diagnostics_and_multi(maooam_traj):
+    from qgs_tpu.diagnostics.streamfunctions import (
+        OceanicLayerStreamfunctionDiagnostic,
+        MiddleAtmosphericStreamfunctionDiagnostic,
+    )
+    from qgs_tpu.diagnostics.temperatures import (
+        OceanicLayerTemperatureAnomalyDiagnostic, OceanicLayerTemperatureDiagnostic,
+    )
+    from qgs_tpu.diagnostics.vorticity import OceanicLayerVorticityDiagnostic
+    from qgs_tpu.diagnostics.multi import MultiDiagnostic
+
+    pars, t, traj = maooam_traj
+    for cls in (OceanicLayerStreamfunctionDiagnostic,
+                OceanicLayerTemperatureAnomalyDiagnostic,
+                OceanicLayerTemperatureDiagnostic,
+                OceanicLayerVorticityDiagnostic):
+        d = cls(pars)
+        out = d(t, traj)
+        assert out is not None and np.all(np.isfinite(out)), cls.__name__
+
+    m = MultiDiagnostic(1, 2)
+    m.add_diagnostic(MiddleAtmosphericStreamfunctionDiagnostic(pars))
+    m.add_diagnostic(OceanicLayerStreamfunctionDiagnostic(pars))
+    outs = m(t, traj)
+    assert len(outs) == 2
+    fig, axes = m.plot(0)
+    assert len(axes) == 2
+
+
+def test_ground_temperature_diag():
+    from qgs_tpu.diagnostics.temperatures import GroundTemperatureAnomalyDiagnostic
+    pars = QgParams(gtemperature_params=True)
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.set_ground_channel_fourier_modes()
+    f, Df = create_tendencies(pars)
+    integ = RungeKuttaIntegrator()
+    integ.set_func(f)
+    ic = np.random.default_rng(0).random(pars.ndim) * 0.05
+    integ.integrate(0., 10., 0.1, ic=ic, write_steps=10)
+    t, traj = integ.get_trajectories()
+    d = GroundTemperatureAnomalyDiagnostic(pars)
+    out = d(t, traj)
+    assert out is not None and np.all(np.isfinite(out))
