@@ -69,6 +69,52 @@ class QgsTensor:
     def _deltaT_g(self, i):
         return i + self.params.variables_range[1] + 1
 
+    # -- numeric/symbolic dispatch helpers ----------------------------------
+    #
+    # The same block assembly serves the numeric tensors (float64 arrays) and
+    # the fully symbolic tensors (object arrays of SymPy expressions): NumPy
+    # matmul/einsum operate elementwise through the Python operators, so only
+    # array construction, parameter access and matrix inversion dispatch.
+
+    _symbolic = False
+
+    def _arr(self, x):
+        """Inner-product storage -> ndarray (float64 or object)."""
+        if self._symbolic:
+            import sympy
+            if isinstance(x, sympy.MatrixBase):
+                return np.array(x.tolist(), dtype=object)
+            if isinstance(x, sympy.NDimArray):
+                return np.array(x.tolist(), dtype=object)
+            return np.asarray(x, dtype=object)
+        return np.asarray(x, dtype=np.float64)
+
+    def _p(self, param):
+        """Parameter -> float, or its SymPy expression in symbolic mode."""
+        if self._symbolic:
+            expr = getattr(param, 'symbolic_expression', None)
+            return expr if expr is not None else float(param)
+        return float(param)
+
+    def _vec(self, params_array):
+        """ParametersArray -> float vector, or object vector of expressions."""
+        if self._symbolic:
+            return np.array([self._p(v) for v in params_array], dtype=object)
+        return params_array.values
+
+    def _zeros(self, shape):
+        if self._symbolic:
+            z = np.empty(shape, dtype=object)
+            z.fill(0)
+            return z
+        return np.zeros(shape, dtype=np.float64)
+
+    def _inv(self, mat):
+        if self._symbolic:
+            import sympy
+            return np.array(sympy.Matrix(mat.tolist()).inv().tolist(), dtype=object)
+        return np.linalg.inv(np.asarray(mat, dtype=np.float64))
+
     # -- mass matrices ------------------------------------------------------
 
     def _mass_matrices(self):
@@ -82,20 +128,20 @@ class QgsTensor:
         a_inv = a_theta = U_inv = M_psio = None
         if aips is not None:
             ap = par.atmospheric_params
-            a = np.asarray(aips._a, dtype=np.float64)
-            u = np.asarray(aips._u, dtype=np.float64)
-            a_inv = np.linalg.inv(a[offset:, offset:])
-            a_theta = np.linalg.inv(float(ap.sig0) * a - u)
+            a = self._arr(aips._a)
+            u = self._arr(aips._u)
+            a_inv = self._inv(a[offset:, offset:])
+            a_theta = self._inv(self._p(ap.sig0) * a - u)
         if bips is not None:
             if ocean:
-                U = np.asarray(bips._U, dtype=np.float64)
-                M = np.asarray(bips._M, dtype=np.float64)
-                U_inv = np.linalg.inv(U)
-                M_psio = np.linalg.inv(M[offset:, offset:]
-                                       + float(par.G) * U[offset:, offset:])
+                U = self._arr(bips._U)
+                M = self._arr(bips._M)
+                U_inv = self._inv(U)
+                M_psio = self._inv(M[offset:, offset:]
+                                   + self._p(par.G) * U[offset:, offset:])
             else:
-                U = np.asarray(bips._U, dtype=np.float64)
-                U_inv = np.linalg.inv(U)
+                U = self._arr(bips._U)
+                U_inv = self._inv(U)
         return a_inv, a_theta, U_inv, M_psio
 
     # -- dense rank-3 assembly ----------------------------------------------
@@ -124,29 +170,29 @@ class QgsTensor:
 
         a_inv, a_theta, U_inv, M_psio = self._mass_matrices()
 
-        T = np.zeros((ndim + 1, ndim + 1, ndim + 1), dtype=np.float64)
+        T = self._zeros((ndim + 1, ndim + 1, ndim + 1))
 
         # index ranges of each variable group inside [0, ndim]
         ia = self._psi_a(np.arange(nvar[0]))
         ith_full = self._theta_a(np.arange(nvar[1]))
         ith = self._theta_a(np.arange(nvar[0]) + o)          # skip T_a0
 
-        beta = float(scp.beta)
-        kd, kdp, sig0 = float(ap.kd), float(ap.kdp), float(ap.sig0)
+        beta = self._p(scp.beta)
+        kd, kdp, sig0 = self._p(ap.kd), self._p(ap.kdp), self._p(ap.sig0)
 
-        g_full = np.asarray(aips._g, dtype=np.float64)
-        b_full = np.asarray(aips._b, dtype=np.float64)
-        c_full = np.asarray(aips._c, dtype=np.float64)
-        a_full = np.asarray(aips._a, dtype=np.float64)
-        u_full = np.asarray(aips._u, dtype=np.float64)
+        g_full = self._arr(aips._g)
+        b_full = self._arr(aips._b)
+        c_full = self._arr(aips._c)
+        a_full = self._arr(aips._a)
+        u_full = self._arr(aips._u)
 
         hk = None
         if gp is not None and gp.hk is not None:
-            hk = gp.hk.values
+            hk = self._vec(gp.hk)
             if gp.orographic_basis == "atmospheric":
                 g_oro = g_full
             else:
-                g_oro = np.asarray(aips._gh, dtype=np.float64)
+                g_oro = self._arr(aips._gh)
 
         # =============================== psi_a ===========================
         # beta advection:  -(a^-1 c)  on (psi_a_j, 0)
@@ -164,16 +210,16 @@ class QgsTensor:
         T[np.ix_(ia, ith, ith)] -= B3
         if ocean:
             ipo = self._psi_o(np.arange(nvar[2]))
-            d_mat = np.asarray(aips._d, dtype=np.float64)
+            d_mat = self._arr(aips._d)
             T[np.ix_(ia, ipo, [0])] += (a_inv @ d_mat[o:, o:])[:, :, None] * kd / 2
 
         # =============================== theta_a =========================
         ithr = ith_full                                      # equation rows
         if par.Cpa is not None:
-            Cpa = par.Cpa.values
+            Cpa = self._vec(par.Cpa)
             T[ithr, 0, 0] -= a_theta @ u_full @ Cpa
         if atp is not None and atp.hd is not None and atp.thetas is not None:
-            T[ithr, 0, 0] += float(atp.hd) * (-(a_theta @ u_full @ atp.thetas.values))
+            T[ithr, 0, 0] += self._p(atp.hd) * (-(a_theta @ u_full @ self._vec(atp.thetas)))
 
         A2 = a_theta @ a_full[:, o:]
         T[np.ix_(ithr, ia, [0])] += A2[:, :, None] * (kd * sig0 / 2)
@@ -195,36 +241,36 @@ class QgsTensor:
         U2 = a_theta @ u_full
         heat = 0.0
         if par.Lpa is not None:
-            heat = heat + float(atp.sc) * float(par.Lpa)
+            heat = heat + self._p(atp.sc) * self._p(par.Lpa)
         if par.LSBpa is not None:
-            heat = heat + float(par.LSBpa)
+            heat = heat + self._p(par.LSBpa)
         if atp is not None and atp.hd is not None:
-            heat = heat + float(atp.hd)
+            heat = heat + self._p(atp.hd)
         if np.any(heat != 0.0):
             T[np.ix_(ithr, ith_full, [0])] += U2[:, :, None] * heat
 
         if ocean:
             ipo = self._psi_o(np.arange(nvar[2]))
             ido_full = self._deltaT_o(np.arange(nvar[3]))
-            d_mat = np.asarray(aips._d, dtype=np.float64)
+            d_mat = self._arr(aips._d)
             D2 = a_theta @ d_mat[:, o:]
             T[np.ix_(ithr, ipo, [0])] += (-D2)[:, :, None] * (sig0 * kd / 2)
             if par.Lpa is not None:
-                s_mat = np.asarray(aips._s, dtype=np.float64)
+                s_mat = self._arr(aips._s)
                 S2 = -(a_theta @ s_mat)
-                fac = float(par.Lpa) / 2
+                fac = self._p(par.Lpa) / 2
                 if par.LSBpgo is not None:
-                    fac += float(par.LSBpgo)
+                    fac = fac + self._p(par.LSBpgo)
                 T[np.ix_(ithr, ido_full, [0])] += S2[:, :, None] * fac
 
         if ground_temp:
             idg = self._deltaT_g(np.arange(nvar[2]))
             if par.Lpa is not None:
-                s_mat = np.asarray(aips._s, dtype=np.float64)
+                s_mat = self._arr(aips._s)
                 S2 = -(a_theta @ s_mat)
-                fac = float(par.Lpa) / 2
+                fac = self._p(par.Lpa) / 2
                 if par.LSBpgo is not None:
-                    fac += float(par.LSBpgo)
+                    fac = fac + self._p(par.LSBpgo)
                 T[np.ix_(ithr, idg, [0])] += S2[:, :, None] * fac
 
         # =============================== psi_o ===========================
@@ -232,13 +278,13 @@ class QgsTensor:
             ipo = self._psi_o(np.arange(nvar[2]))
             ido = self._deltaT_o(np.arange(nvar[2]) + o)     # skip T_o0
             ido_full = self._deltaT_o(np.arange(nvar[3]))
-            K_mat = np.asarray(bips._K, dtype=np.float64)
-            N_mat = np.asarray(bips._N, dtype=np.float64)
-            M_mat = np.asarray(bips._M, dtype=np.float64)
-            C_mat = np.asarray(bips._C, dtype=np.float64)
-            O_mat = np.asarray(bips._O, dtype=np.float64)
-            W_mat = np.asarray(bips._W, dtype=np.float64)
-            d_op, r_op = float(op.d), float(op.r)
+            K_mat = self._arr(bips._K)
+            N_mat = self._arr(bips._N)
+            M_mat = self._arr(bips._M)
+            C_mat = self._arr(bips._C)
+            O_mat = self._arr(bips._O)
+            W_mat = self._arr(bips._W)
+            d_op, r_op = self._p(op.d), self._p(op.r)
 
             K2 = (M_psio @ K_mat[o:, o:]) * d_op
             T[np.ix_(ipo, ia, [0])] += K2[:, :, None]
@@ -253,16 +299,16 @@ class QgsTensor:
 
             # ============================ deltaT_o =======================
             if par.Cpgo is not None:
-                T[ido_full, 0, 0] += U_inv @ W_mat @ par.Cpgo.values
+                T[ido_full, 0, 0] += U_inv @ W_mat @ self._vec(par.Cpgo)
             W2 = U_inv @ W_mat
-            wfac = 2 * float(atp.sc) * float(par.Lpgo) if par.Lpgo is not None else 0.0
+            wfac = 2 * self._p(atp.sc) * self._p(par.Lpgo) if par.Lpgo is not None else 0.0
             if par.sbpa is not None:
-                wfac += float(par.sbpa)
+                wfac = wfac + self._p(par.sbpa)
             T[np.ix_(ido_full, ith_full, [0])] += W2[:, :, None] * wfac
 
-            dfac = -float(par.Lpgo) if par.Lpgo is not None else 0.0
+            dfac = -self._p(par.Lpgo) if par.Lpgo is not None else 0.0
             if par.sbpgo is not None:
-                dfac -= float(par.sbpgo)
+                dfac = dfac - self._p(par.sbpgo)
             T[ido_full, ido_full, 0] += dfac
 
             O3 = np.einsum('im,mjk->ijk', U_inv, O_mat[:, o:, o:])
@@ -271,18 +317,18 @@ class QgsTensor:
         # =============================== deltaT_g ========================
         if ground_temp:
             idg = self._deltaT_g(np.arange(nvar[2]))
-            W_mat = np.asarray(bips._W, dtype=np.float64)
+            W_mat = self._arr(bips._W)
             if par.Cpgo is not None:
-                T[idg, 0, 0] += U_inv @ W_mat @ par.Cpgo.values
+                T[idg, 0, 0] += U_inv @ W_mat @ self._vec(par.Cpgo)
             W2 = U_inv @ W_mat
-            wfac = 2 * float(atp.sc) * float(par.Lpgo) if par.Lpgo is not None else 0.0
+            wfac = 2 * self._p(atp.sc) * self._p(par.Lpgo) if par.Lpgo is not None else 0.0
             if par.sbpa is not None:
-                wfac += float(par.sbpa)
+                wfac = wfac + self._p(par.sbpa)
             T[np.ix_(idg, ith_full, [0])] += W2[:, :, None] * wfac
 
-            dfac = -float(par.Lpgo) if par.Lpgo is not None else 0.0
+            dfac = -self._p(par.Lpgo) if par.Lpgo is not None else 0.0
             if par.sbpgo is not None:
-                dfac -= float(par.sbpgo)
+                dfac = dfac - self._p(par.sbpgo)
             T[idg, idg, 0] += dfac
 
         return T
