@@ -30,7 +30,7 @@ def log(*args):
 NUMBA_ADVANTAGE = 5.0          # conservative single-core Numba vs NumPy factor
 ENSEMBLE = int(os.environ.get("QGS_BENCH_ENSEMBLE", 4096))
 STEPS = int(os.environ.get("QGS_BENCH_STEPS", 200))
-DTYPE = os.environ.get("QGS_BENCH_DTYPE", "float32")
+DTYPE = os.environ.get("QGS_BENCH_DTYPE", "twofloat")
 
 
 def build_system():
@@ -84,6 +84,31 @@ def measure_device(tensor, ndim, dtype):
     import jax.numpy as jnp
     from qgs_tpu.integrators.rk import make_rk_step, rk4_tableau
     from qgs_tpu.parallel.mesh import ensemble_mesh, shard_ensemble
+
+    y0_np = np.random.default_rng(0).random((ENSEMBLE, ndim)) * 0.01
+
+    if dtype == "twofloat":
+        # double-float (2x f32) tier: ~48-bit mantissa at near-f32 speed —
+        # the fidelity + throughput middle point (see qgs_tpu/ops/twofloat.py)
+        from qgs_tpu.ops.twofloat import make_df_rk4_step, df_from_f64
+
+        step = make_df_rk4_step(tensor.tensor, 0.1)
+
+        @jax.jit
+        def run(y):
+            return jax.lax.fori_loop(0, STEPS, lambda i, y: step(y), y)
+
+        y0 = df_from_f64(jnp.asarray(y0_np))
+        y = run(y0)
+        y[0].block_until_ready()
+        t0 = time.perf_counter()
+        y = run(y)
+        y[0].block_until_ready()
+        t1 = time.perf_counter()
+        if not bool(np.isfinite(np.asarray(y[0][:1])).all()):
+            raise RuntimeError("non-finite state after benchmark run")
+        return STEPS * ENSEMBLE / (t1 - t0)
+
     from qgs_tpu.ops.contraction import make_tendency_fns
 
     f_batched, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
@@ -98,8 +123,7 @@ def measure_device(tensor, ndim, dtype):
 
         return jax.lax.fori_loop(0, STEPS, body, y)
 
-    y0 = np.random.default_rng(0).random((ENSEMBLE, ndim)) * 0.01
-    y0 = jnp.asarray(y0, dtype=dtype)
+    y0 = jnp.asarray(y0_np, dtype=dtype)
     mesh = ensemble_mesh()
     if mesh.devices.size > 1:
         y0, _ = shard_ensemble(y0, mesh)
@@ -120,7 +144,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
+    dtype = {"float64": jnp.float64, "float32": jnp.float32}.get(DTYPE, "twofloat")
 
     log("building MAOOAM system ...")
     pars, f, Df, tensor = build_system()
