@@ -24,6 +24,7 @@ emulated-f64 exact path; all three share the same host-precomputed tensor.
 from __future__ import annotations
 
 from functools import partial
+import contextlib
 
 import jax
 import jax.numpy as jnp
@@ -38,25 +39,70 @@ _SPLIT = np.float32(4097.0)        # Veltkamp split constant for float32 (2^12 +
 # error-free transformations (all float32 in / float32 out)
 # ---------------------------------------------------------------------------
 
+_BARRIERS = [True]
+
+
+@contextlib.contextmanager
+def no_barriers():
+    """Disable the EFT optimization barriers while tracing (the Pallas
+    Mosaic lowering does not implement ``optimization_barrier`` and does not
+    run the XLA simplifier that makes them necessary)."""
+    _BARRIERS.append(False)
+    try:
+        yield
+    finally:
+        _BARRIERS.pop()
+
+
+def _opaque(x):
+    """Hide a value's defining expression from XLA's simplifier/fuser.
+
+    XLA may rewrite patterns like ``(a + b) - a -> b`` or FMA-contract a
+    multiply-add differently at each use site — valid for reals,
+    catastrophic for error-free transformations (the rounding-error terms
+    fold to zero; observed under ``jit``).  NOTE: the XLA **CPU** backend
+    strips these barriers during compilation, so compiled CPU double-float
+    results carry ~1e-11-per-step extra error; the TPU backend honors them."""
+    if not _BARRIERS[-1]:
+        return x
+    return jax.lax.optimization_barrier(x)
+
+
 def two_sum(a, b):
-    """Knuth two-sum: s + err == a + b exactly."""
-    s = a + b
+    """Knuth two-sum: s + err == a + b exactly.
+
+    Inputs and the sum are pinned with optimization barriers: the EFT uses
+    each value at several sites, and XLA's FP-contraction may otherwise
+    materialize *different* contractions of the same expression at
+    different uses, breaking the exact-error invariant."""
+    a, b = _opaque((a, b))
+    s = _opaque(a + b)
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
 
 
 def quick_two_sum(a, b):
-    """Fast two-sum, requires |a| >= |b|."""
-    s = a + b
+    """Fast two-sum, requires |a| >= |b| (same barrier rationale as
+    :func:`two_sum`)."""
+    a, b = _opaque((a, b))
+    s = _opaque(a + b)
     err = b - (s - a)
     return s, err
 
 
 def split(a):
-    """Veltkamp split of a float32 into two 12-bit-mantissa halves."""
-    t = _SPLIT * a
-    hi = t - (t - a)
+    """Split a float32 into two ~12-bit-mantissa halves (hi + lo == a
+    exactly).
+
+    Implemented by masking the low 12 mantissa bits instead of the
+    classical Veltkamp multiply (``t = 4097a; hi = t - (t - a)``): XLA's
+    fuser may contract ``t - a`` into an FMA, which computes the
+    subtraction *exactly* and silently destroys the split (observed under
+    ``jit`` on both CPU and TPU).  The bitmask is exact, fusion-proof and
+    cheaper."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFFF000), jnp.float32)
     lo = a - hi
     return hi, lo
 

@@ -1,0 +1,120 @@
+"""Double-float (two-float32) arithmetic and contraction: error-free
+transformation correctness, contraction accuracy vs float64, and the fused
+Pallas kernel's equivalence (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qgs_tpu.ops.twofloat import (
+    two_sum, two_prod, split, df_add, df_mul, df_from_f64, df_to_f64,
+    make_df_quadratic, make_df_rk4_step,
+)
+from qgs_tpu.params.params import QgParams
+from qgs_tpu.models.tendencies import create_tendencies
+
+
+@pytest.fixture(scope="module")
+def maooam():
+    pars = QgParams()
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.set_oceanic_basin_fourier_modes(2, 4)
+    pars.set_params({'kd': 0.029, 'kdp': 0.029, 'n': 1.5, 'r': 1.e-7,
+                     'h': 136.5, 'd': 1.1e-7})
+    f, Df, tensor = create_tendencies(pars, return_qgtensor=True)
+    return pars, f, tensor
+
+
+def test_error_free_transforms():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+
+    s, e = two_sum(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    assert np.abs(np.asarray(s, np.float64) + np.asarray(e, np.float64)
+                  - exact).max() == 0.0
+
+    p, e = two_prod(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    assert np.abs(np.asarray(p, np.float64) + np.asarray(e, np.float64)
+                  - exact).max() == 0.0
+
+    hi, lo = split(a)
+    assert np.abs(np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+                  - np.asarray(a, np.float64)).max() == 0.0
+
+
+def test_df_roundtrip_and_ops():
+    rng = np.random.default_rng(1)
+    a64 = rng.standard_normal(1000)
+    b64 = rng.standard_normal(1000)
+    a = df_from_f64(jnp.asarray(a64))
+    b = df_from_f64(jnp.asarray(b64))
+    assert np.abs(np.asarray(df_to_f64(a)) - a64).max() < 1e-14
+
+    s = np.asarray(df_to_f64(df_add(a, b)))
+    assert np.abs(s - (a64 + b64)).max() < 1e-13
+    p = np.asarray(df_to_f64(df_mul(a, b)))
+    assert np.abs(p - a64 * b64).max() < 1e-13
+
+
+def test_df_contraction_accuracy(maooam):
+    pars, f, tensor = maooam
+    rng = np.random.default_rng(2)
+    B = 16
+    x = rng.random((B, pars.ndim)) * 0.05
+    xx = np.concatenate([np.ones((B, 1)), x], axis=1)
+
+    quad = make_df_quadratic(tensor.tensor)
+    out = jax.jit(quad)(df_from_f64(jnp.asarray(xx)))
+    fx_df = np.asarray(df_to_f64(out))[:, 1:]
+    fx_64 = np.asarray(f.batched(0., jnp.asarray(x)))
+    rel = np.abs(fx_df - fx_64) / (np.abs(fx_64) + 1e-10)
+    assert rel.max() < 1e-11, rel.max()
+
+    # f32 for contrast: ~6 orders of magnitude worse
+    fx_32 = np.asarray(f.batched(0., jnp.asarray(x, jnp.float32)))
+    rel32 = np.abs(fx_32 - fx_64) / (np.abs(fx_64) + 1e-10)
+    assert rel32.max() > 1e-8
+
+
+def test_df_rk4_trajectory(maooam):
+    from qgs_tpu.integrators.rk import integrate_runge_kutta
+    pars, f, tensor = maooam
+    rng = np.random.default_rng(3)
+    x = rng.random((4, pars.ndim)) * 0.05
+
+    step = make_df_rk4_step(tensor.tensor, 0.1)
+
+    @jax.jit
+    def run(y):
+        return jax.lax.fori_loop(0, 1000, lambda i, y: step(y), y)
+
+    y_df = np.asarray(df_to_f64(run(df_from_f64(jnp.asarray(x)))))
+    _, y64 = integrate_runge_kutta(f.batched, 0., 100., 0.1, x, write_steps=0)
+    assert np.abs(y_df - np.asarray(y64)).max() < 1e-8
+
+
+def test_pallas_kernel_matches_twofloat(maooam):
+    from qgs_tpu.ops.pallas_kernels import make_pallas_df_rk4
+    pars, f, tensor = maooam
+    rng = np.random.default_rng(4)
+    x = rng.random((8, pars.ndim)) * 0.05
+    y0 = df_from_f64(jnp.asarray(x))
+
+    run = make_pallas_df_rk4(tensor.tensor, 0.1, n_steps=10, batch_block=4,
+                             interpret=True)
+    oh, ol = run(*y0)
+
+    step = make_df_rk4_step(tensor.tensor, 0.1)
+    y = y0
+    for _ in range(10):
+        y = step(y)
+    # XLA:CPU strips optimization barriers and FMA-contracts inside fusions,
+    # so compiled and eager double-float steps differ at the ~1e-11/step
+    # level on the CPU backend (the TPU backend honors the barriers); both
+    # remain far below f32 accuracy.
+    assert np.abs(np.asarray(df_to_f64((oh, ol)))
+                  - np.asarray(df_to_f64(y))).max() < 1e-8
