@@ -69,6 +69,10 @@ class MiddleAtmosphericTemperatureDiagnostic(AtmosphericTemperatureDiagnostic):
             vr = mp.variables_range
             return self._data[vr[0], :]          # T_a0 variable
         T0 = mp.atemperature_params.T0
+        if T0 is None:
+            # Newtonian-cooling configurations have no reference temperature:
+            # the "total" temperature degrades to the anomaly
+            return np.zeros(self._data.shape[-1])
         return (float(T0)
                 / (float(mp.temperature_scaling) * 2)) * np.ones(self._data.shape[-1])
 

@@ -52,28 +52,30 @@ def _quartic_coo(quad, A, Bgrid, n_left, n_right, dynamic_T, T4):
     entries = {}
     W = quad.W
     if T4:
-        # full quartic on the simplex via a vectorized pair-products trick:
-        # precompute pair products P_(kl),g for k<=l, then triple-nested loop
-        # over the simplex using vector ops on the grid axis
+        # full quartic over the sorted-index simplex, fully vectorized:
+        # one big product grid (n_patterns, G) and a single matmul with the
+        # weighted left basis, then scatter to all multiset permutations
         nb = n_right
         AW = A * W[None, :]
-        for j in range(nb):
-            Bj = Bgrid[j]
-            for k in range(j, nb):
-                Bjk = Bj * Bgrid[k]
-                for l in range(k, nb):
-                    Bjkl = Bjk * Bgrid[l]
-                    # contract over the remaining m >= l in one matmul
-                    block = AW @ (Bjkl[None, :] * Bgrid[l:]).T   # (n_left, nb-l)
-                    block = prune_small(block)
-                    for mm in range(l, nb):
-                        v = block[:, mm - l]
-                        nz = np.nonzero(v)[0]
-                        if nz.size == 0:
-                            continue
-                        for perm in multiset_permutations([j, k, l, mm]):
-                            for i in nz:
-                                entries[(i, *perm)] = v[i]
+        patterns = np.array([(j, k, l, m)
+                             for j in range(nb) for k in range(j, nb)
+                             for l in range(k, nb) for m in range(l, nb)])
+        G = Bgrid.shape[1]
+        block = np.empty((A.shape[0], len(patterns)))
+        chunk = max(1, int(2e7 // G))
+        for lo in range(0, len(patterns), chunk):
+            pc = patterns[lo:lo + chunk]
+            prod = (Bgrid[pc[:, 0]] * Bgrid[pc[:, 1]]
+                    * Bgrid[pc[:, 2]] * Bgrid[pc[:, 3]])
+            block[:, lo:lo + chunk] = AW @ prod.T
+        block = prune_small(block)
+        nz_i, nz_p = np.nonzero(block)
+        for p in np.unique(nz_p):
+            rows = nz_i[nz_p == p]
+            vals = block[rows, p]
+            for perm in multiset_permutations(list(patterns[p])):
+                for i, v in zip(rows, vals):
+                    entries[(int(i), *perm)] = v
     elif dynamic_T:
         B0cubed = Bgrid[0] ** 3
         block = (A * W[None, :]) @ (B0cubed[None, :] * Bgrid).T   # (n_left, nb)

@@ -131,15 +131,30 @@ def make_coo_jacobian(jtensor: COO, dtype=None):
     val = jnp.asarray(jtensor.data, dtype=dtype)
     idxs = [jnp.asarray(coords[axis]) for axis in range(2, rank)]
     flat_out = coords[0] * n1 + coords[1]
-    scatter = np.zeros((jtensor.nnz, n1 * n1), dtype=np.float64)
-    scatter[np.arange(jtensor.nnz), flat_out] = 1.0
-    S = jnp.asarray(scatter, dtype=dtype)
 
-    def jac(xx):
-        prod = val[None, :]
-        for idx in idxs:
-            prod = prod * xx[:, idx]
-        return (prod @ S).reshape(xx.shape[0], n1, n1)
+    if jtensor.nnz * n1 * n1 <= 2e7:
+        # one-hot matmul scatter (MXU-friendly)
+        scatter = np.zeros((jtensor.nnz, n1 * n1), dtype=np.float64)
+        scatter[np.arange(jtensor.nnz), flat_out] = 1.0
+        S = jnp.asarray(scatter, dtype=dtype)
+
+        def jac(xx):
+            prod = val[None, :]
+            for idx in idxs:
+                prod = prod * xx[:, idx]
+            return (prod @ S).reshape(xx.shape[0], n1, n1)
+    else:
+        # large rank-5 jacobians: scatter-add (the one-hot matrix would be
+        # nnz x n1^2 — hundreds of MB)
+        out_idx = jnp.asarray(flat_out)
+
+        def jac(xx):
+            prod = val[None, :]
+            for idx in idxs:
+                prod = prod * xx[:, idx]
+            flat = jnp.zeros((xx.shape[0], n1 * n1), dtype=dtype)
+            flat = flat.at[:, out_idx].add(prod)
+            return flat.reshape(xx.shape[0], n1, n1)
 
     return jac
 
