@@ -246,6 +246,12 @@ class Parameter(float):
         f._symbolic_expression = symbolic_expression
         return f
 
+    def __getnewargs_ex__(self):
+        # reconstruct on unpickling without re-running the dimensional
+        # conversion (the instance __dict__ restores the real flags after)
+        return (float(self),), {"input_dimensional": self._return_dimensional,
+                                "return_dimensional": self._return_dimensional}
+
     # -- accessors ---------------------------------------------------------
     @property
     def _nondimensionalization(self):
