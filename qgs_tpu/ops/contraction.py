@@ -183,7 +183,11 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None):
     dtype = dtype or _default_dtype()
     rank = tensor.rank
     if mode == "auto":
-        mode = "dense" if rank == 3 else "coo"
+        # dense einsum wins while the densified tensor stays small (per-step
+        # FLOPs ~ 2 B n^3); at high mode counts the gather-scatter COO path
+        # (~2 B nnz n) takes over
+        n1 = tensor.shape[0]
+        mode = "dense" if (rank == 3 and n1 ** 3 <= 2_000_000) else "coo"
 
     if mode == "dense" and rank == 3:
         quad = make_dense_quadratic(tensor, dtype)

@@ -81,3 +81,30 @@ def test_write_steps_semantics():
     # time grid: arange(0, 1.05, .1) (11 pts) + [1.05] -> 12 points, ticks 0,5,10 + final 11
     assert len(t) == 4
     assert y.shape == (pars.ndim, 4)
+
+
+def test_high_resolution_coo_mode():
+    """6x6 config (ndim=228): auto mode picks the gather-scatter COO path;
+    it must agree with the dense einsum path."""
+    from qgs_tpu.inner_products.analytic import (
+        AtmosphericAnalyticInnerProducts, OceanicAnalyticInnerProducts,
+    )
+    from qgs_tpu.tensors.qgtensor import QgsTensor
+    from qgs_tpu.ops.contraction import make_tendency_fns
+
+    pars = QgParams({'rr': 287.e0, 'sb': 5.6e-8})
+    pars.set_atmospheric_channel_fourier_modes(6, 6)
+    pars.set_oceanic_basin_fourier_modes(6, 6)
+    pars.set_params({'kd': 0.04, 'kdp': 0.04, 'n': 1.5})
+    aip = AtmosphericAnalyticInnerProducts(pars)
+    oip = OceanicAnalyticInnerProducts(pars)
+    aip.connect_to_ocean(oip)
+    tensor = QgsTensor(pars, aip, oip)
+    assert pars.ndim == 228
+
+    f_auto, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor, mode="auto")
+    f_dense, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor, mode="dense")
+    x = np.random.default_rng(0).random((3, pars.ndim)) * 0.01
+    fa = np.asarray(f_auto(0., x))
+    fd = np.asarray(f_dense(0., x))
+    assert np.allclose(fa, fd, rtol=1e-11, atol=1e-13)
