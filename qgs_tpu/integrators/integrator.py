@@ -166,6 +166,13 @@ class RungeKuttaIntegrator:
         """Return ``(time, trajectories)`` of the last integration."""
         return self._time, np.asarray(self._recorded_traj)
 
+    def get_ic(self):
+        """Return the stored initial conditions (set by :meth:`initialize`)."""
+        return self.ic
+
+    def set_ic(self, ic):
+        self.ic = np.atleast_2d(np.asarray(ic))
+
 
 class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
     """Ensemble integrator of the coupled (trajectory, tangent) system, with

@@ -108,3 +108,15 @@ def test_high_resolution_coo_mode():
     fa = np.asarray(f_auto(0., x))
     fd = np.asarray(f_dense(0., x))
     assert np.allclose(fa, fd, rtol=1e-11, atol=1e-13)
+
+
+def test_backward_integration_roundtrip():
+    """Backward integration must invert forward integration."""
+    pars = _rp_params()
+    f, _ = create_tendencies(pars)
+    ic = np.random.default_rng(11).random(pars.ndim) * 0.01
+    _, y_fwd = integrate_runge_kutta(f.batched, 0., 5., 0.1, ic, write_steps=0)
+    _, y_back = integrate_runge_kutta(f.batched, 0., 5., 0.1,
+                                      np.asarray(y_fwd), write_steps=0,
+                                      forward=False)
+    assert np.allclose(np.asarray(y_back), ic, atol=1e-7)
