@@ -71,12 +71,13 @@ def _opaque(x):
 def two_sum(a, b):
     """Knuth two-sum: s + err == a + b exactly.
 
-    Inputs and the sum are pinned with optimization barriers: the EFT uses
-    each value at several sites, and XLA's FP-contraction may otherwise
-    materialize *different* contractions of the same expression at
-    different uses, breaking the exact-error invariant."""
+    The inputs and the sum are pinned with one optimization barrier: the
+    EFT uses each value at several sites, and XLA's simplifier/fuser may
+    otherwise rewrite ``(a + b) - a -> b`` or materialize *different* FMA
+    contractions of the same expression at different uses, breaking the
+    exact-error invariant."""
     a, b = _opaque((a, b))
-    s = _opaque(a + b)
+    s = a + b
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
@@ -86,7 +87,7 @@ def quick_two_sum(a, b):
     """Fast two-sum, requires |a| >= |b| (same barrier rationale as
     :func:`two_sum`)."""
     a, b = _opaque((a, b))
-    s = _opaque(a + b)
+    s = a + b
     err = b - (s - a)
     return s, err
 
