@@ -120,3 +120,40 @@ def test_backward_integration_roundtrip():
                                       np.asarray(y_fwd), write_steps=0,
                                       forward=False)
     assert np.allclose(np.asarray(y_back), ic, atol=1e-7)
+
+
+def test_native_kernels_bitwise_parity():
+    """The C++ kernels must reproduce the Python reference-semantics loops
+    bit-for-bit (same storage-order accumulation, FP contraction disabled)."""
+    from qgs_tpu import native
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    pars = _maooam_params()
+    _, _, tensor = create_tendencies(pars, return_qgtensor=True)
+    fn_c, Dfn_c = native.make_native_tendencies(tensor.tensor, tensor.jacobian_tensor)
+    fn_p, Dfn_p = make_numpy_tendencies(tensor.tensor, tensor.jacobian_tensor)
+    x = np.random.default_rng(3).random(pars.ndim) * 0.05
+    assert np.array_equal(fn_c(0., x), fn_p(0., x))
+    assert np.array_equal(Dfn_c(0., x), Dfn_p(0., x))
+
+    # native RK4 vs python-loop RK4 (same tableau arithmetic)
+    from qgs_tpu.models.numpy_backend import integrate_runge_kutta_numpy
+    _, y_py = integrate_runge_kutta_numpy(fn_p, 0., 10., 0.1, x, write_steps=0)
+    y_c, rec = native.rk4_integrate(tensor.tensor, x, 0.1, 100, write_steps=10)
+    assert np.allclose(y_c, y_py, rtol=1e-13, atol=1e-15)
+    assert rec.shape[0] == 11
+    assert np.allclose(rec[0], x)
+
+
+def test_jax_trajectory_matches_native_oracle():
+    """Fidelity gate against the fast native oracle over 10k RK4 steps."""
+    from qgs_tpu import native
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    pars = _maooam_params()
+    f, _, tensor = create_tendencies(pars, return_qgtensor=True)
+    x = np.random.default_rng(5).random(pars.ndim) * 0.01
+    y_c, _ = native.rk4_integrate(tensor.tensor, x, 0.1, 10000)
+    _, y_j = integrate_runge_kutta(f.batched, 0., 1000., 0.1, x, write_steps=0)
+    assert np.allclose(np.asarray(y_j), y_c, rtol=1e-6, atol=1e-8), \
+        np.abs(np.asarray(y_j) - y_c).max()
