@@ -175,6 +175,36 @@ class GroundTemperatureAnomalyDiagnostic(FieldDiagnostic):
         return dT
 
 
+class GroundTemperatureDiagnostic(GroundTemperatureAnomalyDiagnostic):
+    """Total ground temperature T_g = T_g0 + delta T_g, where T_g0 is the
+    reference temperature or the 0-th order dynamic temperature
+    (ref ``qgs/diagnostics/temperatures.py:506-560``)."""
+
+    def __init__(self, model_params, delta_x=None, delta_y=None, dimensional=True):
+        GroundTemperatureAnomalyDiagnostic.__init__(self, model_params, delta_x,
+                                                    delta_y, dimensional)
+        self._plot_title = r'Ground temperature $T_{\rm g}$'
+
+    def _get_diagnostic(self, dimensional):
+        mp = self._model_params
+        o = self._offset
+        vr = mp.variables_range
+        dT = self._reconstruct(self._data[vr[1] + o:vr[2]], self._grid_basis[o:])
+        if mp.dynamic_T:
+            T0 = self._data[vr[1], :]
+            dT = dT + T0[:, None, None]
+            if dimensional:
+                dT = dT * float(mp.temperature_scaling)
+        else:
+            if dimensional:
+                dT = dT * float(mp.temperature_scaling) + float(mp.gotemperature_params.T0)
+            else:
+                dT = dT + float(mp.gotemperature_params.T0) / float(mp.temperature_scaling)
+        self._diagnostic_data = dT
+        self._diagnostic_data_dimensional = dimensional
+        return dT
+
+
 class AtmosphericTemperatureMeridionalGradientDiagnostic(DifferentialFieldDiagnostic):
     """Meridional gradient of the middle-atmosphere temperature
     d(delta T_a)/dy."""
@@ -197,3 +227,15 @@ class AtmosphericTemperatureMeridionalGradientDiagnostic(DifferentialFieldDiagno
         self._diagnostic_data = grad
         self._diagnostic_data_dimensional = dimensional
         return grad
+
+
+class MiddleAtmosphericTemperatureMeridionalGradientDiagnostic(
+        AtmosphericTemperatureMeridionalGradientDiagnostic):
+    """Meridional gradient of the 500 hPa atmospheric temperature
+    d(T_a)/dy = 2 d(theta_a)/dy, i.e. the thermal-wind gradient
+    (ref ``qgs/diagnostics/temperatures.py:635-705``)."""
+
+    def __init__(self, model_params, delta_x=None, delta_y=None, dimensional=True):
+        AtmosphericTemperatureMeridionalGradientDiagnostic.__init__(
+            self, model_params, delta_x, delta_y, dimensional)
+        self._plot_title = r'Atmospheric 500hPa Temperature Meridional Gradient'

@@ -185,10 +185,13 @@ def test_ocean_diagnostics_and_multi(maooam_traj):
 
 
 def test_ground_temperature_diag():
-    from qgs_tpu.diagnostics.temperatures import GroundTemperatureAnomalyDiagnostic
+    from qgs_tpu.diagnostics.temperatures import (
+        GroundTemperatureAnomalyDiagnostic, GroundTemperatureDiagnostic,
+    )
     pars = QgParams(gtemperature_params=True)
     pars.set_atmospheric_channel_fourier_modes(2, 2)
     pars.set_ground_channel_fourier_modes()
+    pars.gotemperature_params.set_params({'T0': 300.})
     f, Df = create_tendencies(pars)
     integ = RungeKuttaIntegrator()
     integ.set_func(f)
@@ -198,3 +201,22 @@ def test_ground_temperature_diag():
     d = GroundTemperatureAnomalyDiagnostic(pars)
     out = d(t, traj)
     assert out is not None and np.all(np.isfinite(out))
+
+    # total ground temperature = anomaly + reference T0 (non-dynamic path)
+    dt_total = GroundTemperatureDiagnostic(pars)
+    out_total = dt_total(t, traj)
+    assert np.allclose(out_total, out + float(pars.gotemperature_params.T0))
+
+
+def test_meridional_gradient_alias(rp_traj):
+    """The 500hPa meridional-gradient diagnostic equals the generic one
+    (it is the same thermal-wind field, ref temperatures.py:635-705)."""
+    from qgs_tpu.diagnostics.temperatures import (
+        AtmosphericTemperatureMeridionalGradientDiagnostic,
+        MiddleAtmosphericTemperatureMeridionalGradientDiagnostic,
+    )
+    pars, t, traj = rp_traj
+    g1 = AtmosphericTemperatureMeridionalGradientDiagnostic(pars)(t, traj)
+    g2 = MiddleAtmosphericTemperatureMeridionalGradientDiagnostic(pars)(t, traj)
+    assert np.allclose(g1, g2)
+    assert np.any(g2 != 0)
