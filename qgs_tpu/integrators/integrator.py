@@ -181,6 +181,7 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
     def __init__(self, *args, **kwargs):
         RungeKuttaIntegrator.__init__(self, *args, **kwargs)
         self.func_jac = None
+        self.tg_ic = None
         self._recorded_fmatrix = None
 
     def set_func(self, f, fjac=None, ic_init=True):
@@ -201,7 +202,7 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
         ic2 = np.atleast_2d(ic)
         self.n_dim = ic2.shape[1]
         if tg_ic is None:
-            tg_ic = np.eye(self.n_dim)
+            tg_ic = self.tg_ic if self.tg_ic is not None else np.eye(self.n_dim)
 
         time, traj, fmat = integrate_runge_kutta_tgls(
             self.func, self.func_jac, t0, t, dt, jnp.asarray(ic2), tg_ic,
@@ -212,6 +213,18 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
         self._recorded_traj = jnp.squeeze(traj) if single else traj
         self._recorded_fmatrix = jnp.squeeze(fmat) if single else fmat
         self._write_steps = write_steps
+
+    def get_tg_ic(self):
+        """Return the stored tangent-linear initial conditions
+        (ref ``integrator.py:1068-1076``)."""
+        return self.tg_ic
+
+    def set_tg_ic(self, tg_ic):
+        """Direct setter for the tangent-linear initial conditions: 1-D (one
+        perturbation, broadcast over the ensemble), 2-D (per-trajectory or a
+        matrix of perturbations) or 3-D (per-trajectory matrices)
+        (ref ``integrator.py:1078-1101``)."""
+        self.tg_ic = np.asarray(tg_ic, dtype=np.float64)
 
     def get_trajectories(self):
         """Return ``(time, trajectories, fundamental_matrices)``."""

@@ -410,6 +410,20 @@ class LyapunovsEstimator:
     def terminate(self):
         pass
 
+    def set_bca(self, b=None, c=None, a=None, ic_init=True):
+        """Swap the Butcher tableau of the internal integrators
+        (ref ``lyapunov.py:178,786``)."""
+        ta = list(self.tableau) if self.tableau is not None else [None, None, None]
+        if a is not None:
+            ta[0] = np.asarray(a)
+        if b is not None:
+            ta[1] = np.asarray(b)
+        if c is not None:
+            ta[2] = np.asarray(c)
+        self.tableau = None if all(x is None for x in ta) else tuple(ta)
+        if ic_init:
+            self.ic = None
+
     stop = terminate
 
     def compute_lyapunovs(self, t0, tw, t, dt, mdt, ic=None, write_steps=1,
@@ -459,6 +473,25 @@ class CovariantLyapunovsEstimator:
 
     def terminate(self):
         pass
+
+    def set_bca(self, b=None, c=None, a=None, ic_init=True):
+        """Swap the Butcher tableau of the internal integrators
+        (ref ``lyapunov.py:178,786``)."""
+        ta = list(self.tableau) if self.tableau is not None else [None, None, None]
+        if a is not None:
+            ta[0] = np.asarray(a)
+        if b is not None:
+            ta[1] = np.asarray(b)
+        if c is not None:
+            ta[2] = np.asarray(c)
+        self.tableau = None if all(x is None for x in ta) else tuple(ta)
+        if ic_init:
+            self.ic = None
+
+    def set_noise_pert(self, noise_pert):
+        """Set the Ginelli R-diagonal noise-regularization amplitude
+        (ref ``lyapunov.py:773-784``)."""
+        self.noise_pert = noise_pert
 
     stop = terminate
 
