@@ -57,6 +57,17 @@ class Diagnostic(ABC):
         self.set_data(time, data)
         return self.diagnostic
 
+    def set_params(self, model_params, kwargs=None):
+        """Attach the diagnostic to a (new) model-parameters object,
+        invalidating cached results; ``kwargs`` (same keywords as the
+        constructor) reconfigure the instance
+        (ref ``qgs/diagnostics/base.py:108-127``)."""
+        if kwargs is not None:
+            self.__init__(model_params, **kwargs)
+        else:
+            self._model_params = model_params
+        self._diagnostic_data = None
+
     @property
     def diagnostic(self):
         """The computed diagnostic (cached)."""
@@ -134,6 +145,38 @@ class FieldDiagnostic(Diagnostic):
     @property
     def grid(self):
         return self._X, self._Y
+
+    @property
+    def grid_shape(self):
+        """Shape of the grid covering the model's domain
+        (ref ``qgs/diagnostics/base.py:243-247``)."""
+        if self._Y is not None:
+            return self._Y.shape
+        return None
+
+    def __len__(self):
+        d = self.diagnostic
+        return 0 if d is None else d.shape[0]
+
+    def plot_grid_point(self, i, j, ax=None, figsize=(16, 9), plot_kwargs=None):
+        """Plot the time series of the field at grid point (i = x-index,
+        j = y-index) (ref ``qgs/diagnostics/base.py:363-410``)."""
+        import matplotlib.pyplot as plt
+
+        field = self.diagnostic
+        if field is None:
+            warnings.warn("No diagnostic data available. Showing nothing.")
+            return None
+        if ax is None:
+            fig = plt.figure(figsize=figsize)
+            ax = fig.add_subplot(1, 1, 1)
+        t = self.time if self.time is not None else np.arange(field.shape[0])
+        ax.plot(t, field[:, j, i], **(plot_kwargs or {}))
+        ax.set_title(self._plot_title + f" at grid point ({i}, {j})"
+                     + self._plot_units, pad=20)
+        unit = self._model_params.time_unit if self.dimensional else "timeunits"
+        ax.set_xlabel(f"time ({unit})")
+        return ax
 
     # -- plotting ----------------------------------------------------------
 
@@ -262,6 +305,56 @@ class ProfileDiagnostic(Diagnostic):
         ax.set_xlabel(self._axis_label)
         return ax
 
+    def __len__(self):
+        d = self.diagnostic
+        return 0 if d is None else d.shape[0]
+
+    def movie(self, output='html', filename='', writer='ffmpeg', fps=15,
+              figsize=(10, 6), plot_kwargs=None, anim_kwargs=None):
+        """Animate the profile over time
+        (ref ``qgs/diagnostics/base.py:782-850``)."""
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation
+
+        prof = self.diagnostic
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(1, 1, 1)
+        line, = ax.plot(self._points, prof[0], **(plot_kwargs or {}))
+        ax.set_ylim(float(np.nanmin(prof)), float(np.nanmax(prof)))
+        ax.set_title(self._plot_title + self._plot_units)
+        ax.set_xlabel(self._axis_label)
+
+        def update(frame):
+            line.set_ydata(prof[frame])
+            return (line,)
+
+        anim = FuncAnimation(fig, update, frames=prof.shape[0], blit=False,
+                             **(anim_kwargs or {}))
+        if output == 'html':
+            html = anim.to_html5_video()
+            plt.close(fig)
+            return html
+        if output == 'save':
+            anim.save(filename, writer=writer, fps=fps)
+            plt.close(fig)
+            return filename
+        return anim
+
+    def animate(self, output='animate', **kwargs):
+        """Interactive animation (ipywidgets if available, else the movie)."""
+        try:
+            import ipywidgets as widgets
+        except ImportError:
+            return self.movie(output='html', **kwargs)
+
+        prof = self.diagnostic
+
+        def show(frame):
+            self.plot(time_index=frame)
+
+        slider = widgets.IntSlider(min=0, max=prof.shape[0] - 1, step=1, value=0)
+        return widgets.interactive(show, frame=slider)
+
 
 class FieldPointDiagnostic(Diagnostic):
     """Scalar time series of a field value at a grid point."""
@@ -270,6 +363,17 @@ class FieldPointDiagnostic(Diagnostic):
         Diagnostic.__init__(self, model_params, dimensional)
         self._field = field_diagnostic
         self._x, self._y = x, y
+
+    def set_point_coordinates(self, x, y):
+        """Move the probed point; invalidates the cached series
+        (ref ``qgs/diagnostics/base.py:185-195``)."""
+        self._x, self._y = x, y
+        self._diagnostic_data = None
+
+    @property
+    def point_coordinates(self):
+        """(x, y) coordinates of the probed point."""
+        return self._x, self._y
 
     def _get_diagnostic(self, dimensional):
         self._field.dimensional = dimensional

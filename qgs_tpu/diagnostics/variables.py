@@ -64,6 +64,61 @@ class VariablesDiagnostic(Diagnostic):
         ax.set_title(self._plot_title)
         return ax
 
+    def __len__(self):
+        d = self.diagnostic
+        return 0 if d is None else d.shape[-1]
+
+    def movie(self, output='html', filename='', writer='ffmpeg', fps=15,
+              figsize=(10, 6), plot_kwargs=None, anim_kwargs=None):
+        """Animate the time series with a moving dot marking the current
+        value of each variable (ref ``qgs/diagnostics/variables.py``,
+        ``movie``/``animate`` of the scalar diagnostics)."""
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation
+
+        series = self.diagnostic
+        fig = plt.figure(figsize=figsize)
+        ax = self.plot(ax=fig.add_subplot(1, 1, 1), plot_kwargs=plot_kwargs)
+        t = self.time
+        dots = [ax.plot([t[0]], [row[0]], 'ro')[0] for row in series]
+
+        def update(frame):
+            for dot, row in zip(dots, series):
+                dot.set_data([t[frame]], [row[frame]])
+            return dots
+
+        anim = FuncAnimation(fig, update, frames=series.shape[-1], blit=False,
+                             **(anim_kwargs or {}))
+        if output == 'html':
+            html = anim.to_html5_video()
+            plt.close(fig)
+            return html
+        if output == 'save':
+            anim.save(filename, writer=writer, fps=fps)
+            plt.close(fig)
+            return filename
+        return anim
+
+    def animate(self, output='animate', **kwargs):
+        """Interactive animation (ipywidgets if available, else the movie)."""
+        try:
+            import ipywidgets as widgets
+        except ImportError:
+            return self.movie(output='html', **kwargs)
+
+        series = self.diagnostic
+
+        def show(frame):
+            import matplotlib.pyplot as plt
+            ax = self.plot()
+            for row in series:
+                ax.plot([self.time[frame]], [row[frame]], 'ro')
+            plt.show()
+
+        slider = widgets.IntSlider(min=0, max=series.shape[-1] - 1, step=1,
+                                   value=0)
+        return widgets.interactive(show, frame=slider)
+
 
 class GeopotentialHeightDifferenceDiagnostic(VariablesDiagnostic):
     """Geopotential height difference between couples of domain points,

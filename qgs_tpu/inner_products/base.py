@@ -51,6 +51,11 @@ class AtmosphericInnerProducts(InnerProducts):
         self._z = None      # (F_i, F_j F_k F_l F_m)       [rank-5, T4]
         self._v = None      # (F_i, phi_j phi_k phi_l phi_m) [rank-5, T4]
 
+    @property
+    @abstractmethod
+    def natm(self):
+        """Number of atmospheric modes (ref ``qgs/inner_products/base.py:52``)."""
+
     @abstractmethod
     def a(self, i, j): ...
 
@@ -96,6 +101,11 @@ class OceanicInnerProducts(InnerProducts):
         self._Z = None      # (phi_i, F_j F_k F_l F_m)       [rank-5, T4]
         self._V = None      # (phi_i, phi_j phi_k phi_l phi_m) [rank-5, T4]
 
+    @property
+    @abstractmethod
+    def noc(self):
+        """Number of oceanic modes (ref ``qgs/inner_products/base.py:157``)."""
+
     @abstractmethod
     def M(self, i, j): ...
 
@@ -132,6 +142,11 @@ class GroundInnerProducts(InnerProducts):
         self._W = None
         self._Z = None
         self._V = None
+
+    @property
+    @abstractmethod
+    def ngr(self):
+        """Number of ground modes (ref ``qgs/inner_products/base.py:262``)."""
 
     @abstractmethod
     def U(self, i, j): ...

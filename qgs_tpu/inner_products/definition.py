@@ -30,9 +30,14 @@ class InnerProductDefinition(ABC):
 
     def __init__(self, optimizer=None):
         if optimizer is None:
-            self.optimizer = self._no_optimizer
+            self.set_optimizer(self._no_optimizer)
         else:
-            self.optimizer = optimizer
+            self.set_optimizer(optimizer)
+
+    def set_optimizer(self, optimizer):
+        """Set the integrand/integral optimizer callable
+        (ref ``qgs/inner_products/definition.py:48-55``)."""
+        self.optimizer = optimizer
 
     @staticmethod
     def _no_optimizer(expr):
@@ -51,6 +56,25 @@ class InnerProductDefinition(ABC):
     @abstractmethod
     def symbolic_inner_product(self, S, G, symbolic_expr=False, integrand=False):
         """Definition of the product (S, G)."""
+
+    # Derived-product contract of the coefficient algebra
+    # (abstract in the reference base class, ``definition.py:81-147``).
+
+    @abstractmethod
+    def ip_lap(self, S, G, symbolic_expr=False, integrand=False):
+        """(S, lap G)."""
+
+    @abstractmethod
+    def ip_diff_x(self, S, G, symbolic_expr=False, integrand=False):
+        """(S, dG/dx)."""
+
+    @abstractmethod
+    def ip_jac(self, S, G, H, symbolic_expr=False, integrand=False):
+        """(S, J(G, H))."""
+
+    @abstractmethod
+    def ip_jac_lap(self, S, G, H, symbolic_expr=False, integrand=False):
+        """(S, J(G, lap H))."""
 
 
 class SymbolicInnerProductDefinition(InnerProductDefinition):

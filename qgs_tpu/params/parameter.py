@@ -403,3 +403,52 @@ class ParametersArray(np.ndarray):
     @property
     def symbols(self):
         return [getattr(v, "symbol", None) for v in self]
+
+    # -- reference parity accessors (ref ``qgs/params/parameter.py:1075-1150``)
+
+    @property
+    def dimensional_values(self):
+        """Dimensional values of the parameters as a float64 ndarray."""
+        return np.array([v.dimensional_value if isinstance(v, Parameter)
+                         else float(v) for v in self], dtype=np.float64)
+
+    @property
+    def nondimensional_values(self):
+        """Nondimensional values of the parameters as a float64 ndarray."""
+        return np.array([v.nondimensional_value if isinstance(v, Parameter)
+                         else float(v) for v in self], dtype=np.float64)
+
+    @property
+    def symbolic_expressions(self):
+        """Symbolic expressions of the parameters (object ndarray)."""
+        out = np.empty(len(self), dtype=object)
+        for i, v in enumerate(self):
+            out[i] = getattr(v, "symbolic_expression", None)
+        return out
+
+    @property
+    def descriptions(self):
+        """Descriptions of the parameters (object ndarray)."""
+        out = np.empty(len(self), dtype=object)
+        for i, v in enumerate(self):
+            out[i] = getattr(v, "description", "")
+        return out
+
+    @property
+    def input_dimensional(self):
+        """bool: whether the provided values were dimensional."""
+        return all(getattr(v, "input_dimensional", False) for v in self)
+
+    @property
+    def return_dimensional(self):
+        """bool: whether the effective float values are dimensional."""
+        return all(getattr(v, "return_dimensional", False) for v in self)
+
+    @property
+    def units(self):
+        """str: common unit string of the parameters."""
+        for v in self:
+            u = getattr(v, "units", "")
+            if u:
+                return u
+        return ""

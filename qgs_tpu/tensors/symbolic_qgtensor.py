@@ -99,6 +99,38 @@ class SymbolicQgsTensor(QgsTensor):
                 jac[k] = jac.get(k, 0) + v
         return {k: v for k, v in jac.items() if sympy.sympify(v) != 0}
 
+    # -- reference-parity dict helpers (ref ``qgs/tensors/symbolic_qgtensor.py:710-783``)
+
+    @staticmethod
+    def remove_dic_zeros(dic):
+        """Return a copy of ``dic`` with zero-valued entries removed."""
+        return {k: v for k, v in dic.items() if v != 0}
+
+    @staticmethod
+    def jacobian_from_dict(dic):
+        """Jacobian tensor dict: sum of ``dic`` over all swaps of axis 1
+        with each trailing axis (generalizes to rank > 3)."""
+        rank = max(len(k) for k in dic.keys())
+        jac = dict(dic)
+        for ax in range(2, rank):
+            for idx, v in dic.items():
+                swapped = list(idx)
+                swapped[1], swapped[ax] = swapped[ax], swapped[1]
+                key = tuple(swapped)
+                jac[key] = jac.get(key, 0) + v
+        return jac
+
+    @staticmethod
+    def simplify_dict(dic):
+        """Upper-triangularize the trailing indices of a tensor dict
+        (entries with permuted trailing indices are accumulated onto the
+        sorted-index representative)."""
+        out = {}
+        for idx, v in dic.items():
+            key = tuple([idx[0]] + sorted(idx[1:]))
+            out[key] = out.get(key, 0) + v
+        return out
+
     def sub_tensor(self, dic=None, continuation_variables=None):
         """Substitute all parameters except the continuation variables.
 

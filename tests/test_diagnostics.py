@@ -208,6 +208,91 @@ def test_ground_temperature_diag():
     assert np.allclose(out_total, out + float(pars.gotemperature_params.T0))
 
 
+def test_parity_api_surface(rp_traj):
+    """Reference-parity accessors: grid_shape, plot_grid_point, set_params,
+    point coordinates, MultiDiagnostic/FieldsDiagnosticsList catalog, movie
+    hooks and ParametersArray properties (ref ``qgs/diagnostics/base.py``,
+    ``multi.py``, ``qgs/params/parameter.py:1075-1150``)."""
+    from qgs_tpu.diagnostics.streamfunctions import (
+        MiddleAtmosphericStreamfunctionDiagnostic,
+    )
+    from qgs_tpu.diagnostics.base import FieldPointDiagnostic
+    from qgs_tpu.diagnostics.eddy import MiddleAtmosphericEddyHeatFluxProfileDiagnostic
+    from qgs_tpu.diagnostics.multi import MultiDiagnostic, FieldsDiagnosticsList
+    from qgs_tpu.diagnostics.variables import VariablesDiagnostic
+    from qgs_tpu.params.parameter import ParametersArray
+
+    pars, t, traj = rp_traj
+    psi = MiddleAtmosphericStreamfunctionDiagnostic(pars)
+    psi.set_data(t, traj)
+    assert psi.grid_shape == psi.grid[0].shape
+    assert len(psi) == len(t)
+    ax = psi.plot_grid_point(10, 10)
+    assert ax is not None
+
+    # field-point probe with movable coordinates
+    fp = FieldPointDiagnostic(pars, 1.0, 1.0, MiddleAtmosphericStreamfunctionDiagnostic(pars))
+    s1 = fp(t, traj).copy()
+    assert fp.point_coordinates == (1.0, 1.0)
+    fp.set_point_coordinates(2.0, 2.0)
+    s2 = fp.diagnostic
+    assert s1.shape == s2.shape == (len(t),) and not np.allclose(s1, s2)
+
+    # set_params re-attaches and invalidates the cache
+    psi.set_params(pars)
+    assert psi._diagnostic_data is None
+
+    # MultiDiagnostic catalog properties
+    m = MultiDiagnostic(2, 1)
+    m.add_diagnostic(MiddleAtmosphericStreamfunctionDiagnostic(pars))
+    m.set_data(t, traj)
+    assert m.nrows == 2 and m.ncols == 1 and len(m) == 2
+    assert len(m.diagnostics_list) == 1
+    assert m.diagnostic_positions == [(0, 0)]
+    assert len(m.diagnostic) == 1
+
+    # FieldsDiagnosticsList: indexed feed + joint plot on one axes
+    fl = FieldsDiagnosticsList()
+    fl.append_diagnostic(MiddleAtmosphericStreamfunctionDiagnostic(pars))
+    fl.append_diagnostic(MiddleAtmosphericStreamfunctionDiagnostic(pars))
+    fl.set_data(t, traj, index=0)
+    fl.set_data(t, traj, index=1)
+    assert len(fl) == len(t)
+    ax = fl.plot(time_index=0, style=["image", "contour"], color_bar=False)
+    assert ax is not None
+
+    # profile + scalar animations build (use the FuncAnimation object output)
+    prof = MiddleAtmosphericEddyHeatFluxProfileDiagnostic(pars)
+    prof.set_data(t, traj)
+    anim = prof.movie(output='animate')
+    assert anim is not None
+    vd = VariablesDiagnostic([0, 1], pars)
+    vd.set_data(t, traj)
+    anim = vd.movie(output='animate')
+    assert anim is not None
+
+    # ParametersArray parity accessors
+    pa = ParametersArray([1.0, 2.0], units='[m]',
+                         scale_object=pars.scale_params, description='test')
+    assert pa.units == '[m]'
+    assert list(pa.descriptions) == ['test', 'test']
+    assert pa.input_dimensional and not pa.return_dimensional
+    assert np.allclose(pa.dimensional_values, [1.0, 2.0])
+    assert np.allclose(pa.nondimensional_values, np.asarray(pa, dtype=float))
+
+    # symbolic tensor dict helpers
+    from qgs_tpu.tensors.symbolic_qgtensor import SymbolicQgsTensor
+    dic = {(1, 2, 1): 3.0, (1, 1, 2): 1.0, (2, 0, 0): 0.0}
+    nz = SymbolicQgsTensor.remove_dic_zeros(dic)
+    assert (2, 0, 0) not in nz and len(nz) == 2
+    upp = SymbolicQgsTensor.simplify_dict(nz)
+    assert upp == {(1, 1, 2): 4.0}
+    jac = SymbolicQgsTensor.jacobian_from_dict(upp)
+    assert jac == {(1, 1, 2): 4.0, (1, 2, 1): 4.0}
+    # identity swaps accumulate (same convention as the reference add_to_dict)
+    assert SymbolicQgsTensor.jacobian_from_dict({(1, 1, 1): 2.0}) == {(1, 1, 1): 4.0}
+
+
 def test_meridional_gradient_alias(rp_traj):
     """The 500hPa meridional-gradient diagnostic equals the generic one
     (it is the same thermal-wind field, ref temperatures.py:635-705)."""
