@@ -29,7 +29,10 @@ def log(*args):
 
 NUMBA_ADVANTAGE = 5.0          # conservative single-core Numba vs NumPy factor
 ENSEMBLE = int(os.environ.get("QGS_BENCH_ENSEMBLE", 4096))
-STEPS = int(os.environ.get("QGS_BENCH_STEPS", 200))
+# 1000 steps per timed call: the remote-TPU dispatch latency (~25 ms/call
+# through the axon tunnel) distorts shorter runs; production integrations
+# are millions of steps, so steady-state throughput is the honest metric
+STEPS = int(os.environ.get("QGS_BENCH_STEPS", 1000))
 DTYPE = os.environ.get("QGS_BENCH_DTYPE", "twofloat")
 
 

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from qgs_tpu.integrators.rk import (
-    integrate_runge_kutta, integrate_runge_kutta_tgls, rk4_tableau,
+    integrate_runge_kutta, integrate_runge_kutta_df, integrate_runge_kutta_tgls,
+    rk4_tableau,
 )
 from qgs_tpu.parallel.mesh import ensemble_mesh, shard_ensemble
 
@@ -43,10 +44,18 @@ class RungeKuttaIntegrator:
         State dimension (inferred from the first integration otherwise).
     mesh: jax.sharding.Mesh, optional
         Device mesh to shard the ensemble axis over (default: all devices).
+    precision: str, optional
+        'float64' (default) integrates with the configured tableau in the
+        ambient dtype; 'twofloat' uses the fused double-float (2x float32)
+        RK4 step (:mod:`qgs_tpu.ops.twofloat`) — ~48-bit-mantissa
+        trajectories at near-f32 TPU throughput.  'twofloat' requires the
+        default RK4 tableau and a tendency function created by
+        :func:`qgs_tpu.models.tendencies.create_tendencies` (it carries the
+        tendency tensor the fused step is compiled from).
     """
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
-                 number_of_dimensions=None, mesh=None):
+                 number_of_dimensions=None, mesh=None, precision="float64"):
         if a is None and b is None and c is None:
             a, b, c = rk4_tableau()
         self.a, self.b, self.c = a, b, c
@@ -57,6 +66,8 @@ class RungeKuttaIntegrator:
         self._time = None
         self._recorded_traj = None
         self._write_steps = 1
+        self.precision = precision
+        self._qgtensor = None
 
     # -- configuration -----------------------------------------------------
 
@@ -69,6 +80,7 @@ class RungeKuttaIntegrator:
     def set_func(self, f, ic_init=True):
         """Set the tendency function (single-state or batched)."""
         self.func = _batched(f)
+        self._qgtensor = getattr(f, "qgtensor", None)
         if ic_init:
             self.ic = None
 
@@ -152,10 +164,24 @@ class RungeKuttaIntegrator:
         else:
             ic_dev, n_orig = jnp.asarray(ic2), ic2.shape[0]
 
-        time, traj = integrate_runge_kutta(self.func, t0, t, dt, ic_dev,
-                                           forward=forward, write_steps=write_steps,
-                                           b=self.b, c=self.c, a=self.a,
-                                           squeeze=False)
+        if self.precision == "twofloat":
+            if self._qgtensor is None:
+                raise RuntimeError(
+                    "precision='twofloat' needs a tendency function from "
+                    "create_tendencies (carrying its .qgtensor)")
+            a_ref, b_ref, c_ref = rk4_tableau()
+            if not (np.allclose(self.a, a_ref) and np.allclose(self.b, b_ref)
+                    and np.allclose(self.c, c_ref)):
+                raise ValueError("precision='twofloat' supports the default "
+                                 "RK4 tableau only")
+            time, traj = integrate_runge_kutta_df(
+                self._qgtensor.tensor, t0, t, dt, ic_dev, forward=forward,
+                write_steps=write_steps, squeeze=False)
+        else:
+            time, traj = integrate_runge_kutta(self.func, t0, t, dt, ic_dev,
+                                               forward=forward, write_steps=write_steps,
+                                               b=self.b, c=self.c, a=self.a,
+                                               squeeze=False)
         # un-pad, then squeeze to the reference output shape conventions
         traj = traj[:n_orig]
         self._time = time

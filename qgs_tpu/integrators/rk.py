@@ -254,6 +254,52 @@ def integrate_runge_kutta(f, t0, t, dt, ic, forward=True, write_steps=1,
     return time[-1], jnp.squeeze(traj)
 
 
+def _get_df_scan(tensor, write_steps, gather, accumulate):
+    key = (id(tensor), write_steps, gather, accumulate, 'df')
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        from qgs_tpu.ops.twofloat import make_df_rk4_step_dynamic
+        step = make_df_rk4_step_dynamic(tensor, gather=gather,
+                                        accumulate=accumulate)
+        fn = jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
+        _SCAN_CACHE[key] = fn
+    return fn
+
+
+def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
+                             squeeze=True, gather="take", accumulate="auto"):
+    """Integrate the model with the fused double-float (2x float32) RK4
+    step (:mod:`qgs_tpu.ops.twofloat`): ~48-bit-mantissa trajectories at
+    near-f32 TPU throughput.  Same time-grid/record semantics as
+    :func:`integrate_runge_kutta`; RK4 tableau only.
+
+    ``tensor`` is the COO tendency tensor (``QgsTensor.tensor``); ``ic``
+    is float64 (B, ndim) and the returned trajectory is float64.
+    """
+    from qgs_tpu.ops.twofloat import df_from_f64, df_to_f64
+
+    ic = jnp.atleast_2d(jnp.asarray(ic, jnp.float64))
+    time = time_grid(t0, t, dt)
+    directed = time if forward else time[::-1]
+    tts, dts = directed[:-1], np.diff(directed)
+
+    scan_fn = _get_df_scan(tensor, write_steps, gather, accumulate)
+    td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
+    _, recs = scan_fn(df_from_f64(ic), td_all)
+    traj = jnp.moveaxis(df_to_f64(recs), 0, -1)    # (B, ndim, n_records)
+
+    if not forward:
+        traj = traj[..., ::-1]
+
+    if write_steps > 0:
+        rec = _record_indices(len(time), write_steps)
+        rec_times = time[rec] if forward else time[::-1][rec][::-1]
+        return rec_times, (jnp.squeeze(traj) if squeeze else traj)
+    if squeeze:
+        return time[-1], jnp.squeeze(traj[..., -1])
+    return time[-1], traj[..., -1]
+
+
 def integrate_runge_kutta_tgls(f, fjac, t0, t, dt, ic, tg_ic, forward=True,
                                adjoint=False, inverse=False, boundary=None,
                                write_steps=1, b=None, c=None, a=None):

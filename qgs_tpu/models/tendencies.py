@@ -88,6 +88,10 @@ def create_tendencies(params, return_inner_products=False, return_qgtensor=False
     Df = jax.jit(single_state(jac_b))
     f.batched = f_batched
     Df.batched = Df_batched
+    # the compile artifact rides along: integrators use it for the fused
+    # double-float tier, diagnostics for the omega computation
+    f.qgtensor = agotensor
+    Df.qgtensor = agotensor
 
     ret = [f, Df]
     if return_inner_products:

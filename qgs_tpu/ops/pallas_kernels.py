@@ -47,7 +47,7 @@ except ImportError:  # pragma: no cover
 from qgs_tpu.utils.sparse import COO
 from qgs_tpu.ops.twofloat import (
     two_sum, quick_two_sum, two_prod, df_add, df_mul, df_const, df_from_f64,
-    _row_grouped_layout, _one_hot_gather_matrix, no_barriers,
+    df_reduce_last, _row_grouped_layout, _one_hot_gather_matrix, no_barriers,
 )
 
 
@@ -102,16 +102,9 @@ def make_pallas_df_rk4(tensor: COO, dt, n_steps, batch_block=256,
             XJ = (_df_dot_exact(xx[0], GjV), _df_dot_exact(xx[1], GjV))
             XK = (_df_dot_exact(xx[0], GkV), _df_dot_exact(xx[1], GkV))
             t = df_mul(df_mul(V, XJ), XK)
-            thi = t[0].reshape(B, n1, R)
-            tlo = t[1].reshape(B, n1, R)
-            acc = (thi, tlo)
-            width = R
-            while width > 1:
-                half = width // 2
-                acc = df_add((acc[0][..., :half], acc[1][..., :half]),
-                             (acc[0][..., half:width], acc[1][..., half:width]))
-                width = half
-            return acc[0][..., 0][:, 1:], acc[1][..., 0][:, 1:]
+            acc = df_reduce_last((t[0].reshape(B, n1, R),
+                                  t[1].reshape(B, n1, R)))
+            return acc[0][:, 1:], acc[1][:, 1:]
 
         def axpy(y, c, k):
             ck = df_mul(k, (jnp.full_like(k[0], c[0]), jnp.full_like(k[0], c[1])))

@@ -162,6 +162,75 @@ def df_const(value):
     return jnp.float32(hi), jnp.float32(lo)
 
 
+def df_div_scalar(x, c):
+    """Divide a double-float by an exactly-representable float32 scalar
+    (classical long-division correction: one rounded quotient + exact
+    remainder via two-prod)."""
+    c = jnp.float32(c)
+    q = x[0] / c
+    p, e = two_prod(q, jnp.broadcast_to(c, jnp.shape(q)))
+    r = ((x[0] - p) - e + x[1]) / c
+    return quick_two_sum(q, r)
+
+
+def df_reduce_last(x):
+    """Pairwise double-float sum over the trailing axis (any width).
+
+    Odd widths carry their leftover lane to a final combine, so no
+    power-of-two padding is required (the previous tree silently dropped
+    lanes for widths like 24)."""
+    hi, lo = x
+    width = hi.shape[-1]
+    carries = []
+    while width > 1:
+        half = width // 2
+        if width % 2:
+            carries.append((hi[..., -1], lo[..., -1]))
+        hi, lo = df_add((hi[..., :half], lo[..., :half]),
+                        (hi[..., half:2 * half], lo[..., half:2 * half]))
+        width = half
+    out = (hi[..., 0], lo[..., 0])
+    for c in carries:
+        out = df_add(out, c)
+    return out
+
+
+def _sloppy_add(x, y):
+    """Double-float add without the trailing renormalization: the hi parts
+    are combined with an exact two-sum, the error and lo parts accumulate
+    into an *unnormalized* lo (|lo| may grow to a few ulp of hi).  Used for
+    short reduction trees where one final renormalization suffices; halves
+    the barrier/op count of :func:`df_add`."""
+    s, e = two_sum(x[0], y[0])
+    return s, e + x[1] + y[1]
+
+
+def _sloppy_reduce_last(x):
+    """Pairwise trailing-axis sum with unnormalized intermediate lo parts;
+    the result IS renormalized (safe to feed into normalized df ops)."""
+    hi, lo = x
+    width = hi.shape[-1]
+    carries = []
+    while width > 1:
+        half = width // 2
+        if width % 2:
+            carries.append((hi[..., -1], lo[..., -1]))
+        hi, lo = _sloppy_add((hi[..., :half], lo[..., :half]),
+                             (hi[..., half:2 * half], lo[..., half:2 * half]))
+        width = half
+    out = (hi[..., 0], lo[..., 0])
+    for c in carries:
+        out = _sloppy_add(out, c)
+    return quick_two_sum(out[0], out[1])
+
+
+def _sloppy_mul(x, y):
+    """Double-float product without the trailing renormalization (exact
+    two-prod of the hi parts + first-order cross terms)."""
+    p, e = two_prod(x[0], y[0])
+    return p, e + (x[0] * y[1] + x[1] * y[0])
+
+
 # ---------------------------------------------------------------------------
 # contraction layout
 # ---------------------------------------------------------------------------
@@ -197,58 +266,120 @@ def _one_hot_gather_matrix(idx, n1):
     return G
 
 
-def make_df_quadratic(tensor: COO, gather="take"):
+def _split_grouped_layout(tensor: COO):
+    """Split the COO entries into a *linear* group (j == 0 or k == 0: the
+    partner index hits the dummy-1 variable, so only one state gather and
+    one double-float product are needed; constant entries j == k == 0 fall
+    in here too, gathering x[0] == 1 exactly) and a *bilinear* group.
+
+    Each group is padded to its own exact per-row maximum (no power-of-two
+    or lane padding: the pairwise reducers handle any width, and unused
+    slots carry value 0, whose double-float products/sums are exact).
+
+    Returns ``(lin_vals, lin_idx, Rl), (bil_vals, bil_j, bil_k, Rb)`` as
+    (n1, R)-shaped arrays; R may be 0 for an empty group."""
+    n1 = tensor.shape[0]
+    rows, j, k = (np.asarray(c) for c in tensor.coords)
+    lin_mask = (j == 0) | (k == 0)
+
+    def _layout(mask, idx_arrays):
+        r = rows[mask]
+        counts = np.bincount(r, minlength=n1)
+        R = int(counts.max()) if r.size else 0
+        vals = np.zeros((n1, R))
+        idxs = [np.zeros((n1, R), np.int64) for _ in idx_arrays]
+        ptr = np.zeros(n1, np.int64)
+        data = tensor.data[mask]
+        cols = [a[mask] for a in idx_arrays]
+        for e in range(r.size):
+            i = r[e]
+            vals[i, ptr[i]] = data[e]
+            for out, col in zip(idxs, cols):
+                out[i, ptr[i]] = col[e]
+            ptr[i] += 1
+        return (vals, *idxs, R)
+
+    # linear: the active index is whichever of (j, k) is nonzero (j + k,
+    # since the other is 0; constants gather index 0 -> x[0] == 1, exact)
+    lin = _layout(lin_mask, [j + k])
+    bil = _layout(~lin_mask, [j, k])
+    return lin, bil
+
+
+def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
     """Double-float tendency contraction
     ``f(xx_hi, xx_lo) -> (out_hi, out_lo)`` over the full (dummy-padded)
     state, built on exact gathers + VPU double-float arithmetic.
 
+    Entries are split into linear (one gather + one product — the partner
+    index is the dummy-1 variable) and bilinear (two gathers + two
+    products) groups, each reduced per-row with a pairwise tree.
+
     ``gather``: 'take' uses real gather ops (exact by definition);
     'matmul' uses one-hot matmuls at HIGHEST precision (the default TPU
     matmul precision is bf16, which would truncate the gathered values —
-    measured to destroy the double-float accuracy entirely)."""
+    measured to destroy the double-float accuracy entirely).
+
+    ``accumulate``: 'fast' skips the intermediate renormalizations inside
+    the products and reduction trees (one renormalization per row sum;
+    ~2x fewer barriers/ops, error still ~2^-45 relative for these short
+    trees — measured 7e-15 vs 5e-15 rel on TPU); 'strict' renormalizes
+    after every double-float op.  'auto' (default) picks 'fast' on TPU
+    and 'strict' elsewhere: the XLA **CPU** backend strips the EFT
+    barriers, which costs 'fast' the two-sum error terms entirely
+    (~1e-8 rel measured) while 'strict' degrades only mildly."""
     n1 = tensor.shape[0]
-    vals, j_idx, k_idx, R = _row_grouped_layout(tensor)
-    jf = jnp.asarray(j_idx.reshape(-1))
-    kf = jnp.asarray(k_idx.reshape(-1))
-    Gj = jnp.asarray(_one_hot_gather_matrix(j_idx, n1))
-    Gk = jnp.asarray(_one_hot_gather_matrix(k_idx, n1))
-    Vhi, Vlo = df_from_f64(vals.reshape(-1))
+    if accumulate == "auto":
+        accumulate = "fast" if jax.default_backend() not in ("cpu",) else "strict"
+    (lvals, lidx, Rl), (bvals, bj, bk, Rb) = _split_grouped_layout(tensor)
+    mul = _sloppy_mul if accumulate == "fast" else df_mul
+    reduce_last = _sloppy_reduce_last if accumulate == "fast" else df_reduce_last
+
+    lf = jnp.asarray(lidx.reshape(-1))
+    jf = jnp.asarray(bj.reshape(-1))
+    kf = jnp.asarray(bk.reshape(-1))
+    Gl = jnp.asarray(_one_hot_gather_matrix(lidx, n1)) if Rl else None
+    Gj = jnp.asarray(_one_hot_gather_matrix(bj, n1)) if Rb else None
+    Gk = jnp.asarray(_one_hot_gather_matrix(bk, n1)) if Rb else None
+    LVhi, LVlo = df_from_f64(lvals.reshape(-1))
+    BVhi, BVlo = df_from_f64(bvals.reshape(-1))
 
     def quad(xx):
         """xx: (hi, lo) of shape (B, n1) -> (hi, lo) of shape (B, n1)."""
         B = xx[0].shape[0]
-        if gather == "take":
-            XJ = (jnp.take(xx[0], jf, axis=1), jnp.take(xx[1], jf, axis=1))
-            XK = (jnp.take(xx[0], kf, axis=1), jnp.take(xx[1], kf, axis=1))
-        else:
+
+        def gath(flat_idx, G):
+            if gather == "take":
+                return (jnp.take(xx[0], flat_idx, axis=1),
+                        jnp.take(xx[1], flat_idx, axis=1))
             mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-            XJ = (mm(xx[0], Gj), mm(xx[1], Gj))   # (B, n1*R)
-            XK = (mm(xx[0], Gk), mm(xx[1], Gk))
-        # double-float products (VPU)
-        t = df_mul(df_mul((Vhi[None, :], Vlo[None, :]), XJ), XK)
-        # per-row reduction over the R slots (tree of double-float adds)
-        thi = t[0].reshape(B, n1, R)
-        tlo = t[1].reshape(B, n1, R)
-        acc = (thi, tlo)
-        width = R
-        while width > 1:
-            half = width // 2
-            acc = df_add((acc[0][..., :half], acc[1][..., :half]),
-                         (acc[0][..., half:width], acc[1][..., half:width]))
-            width = half
-        return acc[0][..., 0], acc[1][..., 0]
+            return mm(xx[0], G), mm(xx[1], G)
+
+        parts = []
+        if Rl:
+            XL = gath(lf, Gl)                                   # (B, n1*Rl)
+            t = mul((LVhi[None, :], LVlo[None, :]), XL)
+            parts.append(reduce_last((t[0].reshape(B, n1, Rl),
+                                      t[1].reshape(B, n1, Rl))))
+        if Rb:
+            XJ = gath(jf, Gj)                                   # (B, n1*Rb)
+            XK = gath(kf, Gk)
+            t = mul(mul((BVhi[None, :], BVlo[None, :]), XJ), XK)
+            parts.append(reduce_last((t[0].reshape(B, n1, Rb),
+                                      t[1].reshape(B, n1, Rb))))
+        if not parts:
+            z = jnp.zeros((B, n1), jnp.float32)
+            return z, z
+        return parts[0] if len(parts) == 1 else df_add(*parts)
 
     return quad
 
 
-def make_df_rk4_step(tensor: COO, dt, gather="take"):
-    """Fused double-float RK4 step over the batched model state
-    ``y -> y_new`` with (hi, lo) pairs of shape (B, ndim)."""
-    n1 = tensor.shape[0]
-    quad = make_df_quadratic(tensor, gather=gather)
-    dt_df = df_const(dt)
-    half_dt = df_const(dt / 2.0)
-    sixth_dt = df_const(dt / 6.0)
+def _df_rk4_core(tensor: COO, gather, accumulate):
+    """Shared internals of the fused double-float RK4 step: returns
+    ``step(y, dt_df, half_dt, sixth_dt)`` taking the timestep constants as
+    (hi, lo) scalar pairs."""
+    quad = make_df_quadratic(tensor, gather=gather, accumulate=accumulate)
 
     def pad_dummy(y):
         B = y[0].shape[0]
@@ -266,7 +397,7 @@ def make_df_rk4_step(tensor: COO, dt, gather="take"):
         ck = df_mul(k, (jnp.full_like(k[0], c[0]), jnp.full_like(k[0], c[1])))
         return df_add(y, ck)
 
-    def step(y):
+    def step(y, dt_df, half_dt, sixth_dt):
         k1 = f(y)
         k2 = f(axpy(y, half_dt, k1))
         k3 = f(axpy(y, half_dt, k2))
@@ -276,3 +407,34 @@ def make_df_rk4_step(tensor: COO, dt, gather="take"):
         return axpy(y, sixth_dt, ksum)
 
     return step
+
+
+def make_df_rk4_step(tensor: COO, dt, gather="take", accumulate="auto"):
+    """Fused double-float RK4 step over the batched model state
+    ``y -> y_new`` with (hi, lo) pairs of shape (B, ndim); ``dt`` is baked
+    in at build time (constants computed exactly on host)."""
+    step = _df_rk4_core(tensor, gather, accumulate)
+    dt_df = df_const(dt)
+    half_dt = df_const(dt / 2.0)
+    sixth_dt = df_const(dt / 6.0)
+    return lambda y: step(y, dt_df, half_dt, sixth_dt)
+
+
+def make_df_rk4_step_dynamic(tensor: COO, gather="take", accumulate="auto"):
+    """Fused double-float RK4 step ``step(y, tt, dt) -> y_new`` taking the
+    timestep as a traced float64 scalar — the signature used by the generic
+    scan machinery (:func:`qgs_tpu.integrators.rk._scan_chunks`), so the
+    final (possibly shorter) grid step and backward integration work.  The
+    model is autonomous, ``tt`` is unused."""
+    step = _df_rk4_core(tensor, gather, accumulate)
+
+    def dyn_step(y, tt, dt):
+        del tt
+        dt64 = jnp.asarray(dt, jnp.float64)
+        hi = dt64.astype(jnp.float32)
+        dt_df = (hi, (dt64 - hi.astype(jnp.float64)).astype(jnp.float32))
+        half_dt = (jnp.float32(0.5) * dt_df[0], jnp.float32(0.5) * dt_df[1])
+        sixth_dt = df_div_scalar(dt_df, 6.0)
+        return step(y, dt_df, half_dt, sixth_dt)
+
+    return dyn_step

@@ -73,3 +73,33 @@ def test_tgls_integrator_class():
     assert y.shape == (pars.ndim,)
     assert dyf.shape == (pars.ndim,)
     assert np.all(np.isfinite(dyf))
+
+
+def test_twofloat_precision_tier():
+    """precision='twofloat' on the integrator class: same trajectories as
+    the float64 path to double-float accuracy, same record semantics."""
+    pars, f, Df = _system()
+    ref = RungeKuttaIntegrator()
+    ref.set_func(f)
+    df_int = RungeKuttaIntegrator(precision="twofloat")
+    df_int.set_func(f)
+
+    rng = np.random.default_rng(7)
+    ic = rng.random((4, pars.ndim)) * 0.05
+    for write_steps in (0, 3):
+        ref.integrate(0., 10., 0.1, ic=ic, write_steps=write_steps)
+        t64, y64 = ref.get_trajectories()
+        df_int.integrate(0., 10., 0.1, ic=ic, write_steps=write_steps)
+        tdf, ydf = df_int.get_trajectories()
+        assert np.array_equal(np.asarray(t64), np.asarray(tdf))
+        assert y64.shape == ydf.shape
+        assert np.abs(y64 - ydf).max() < 1e-9, np.abs(y64 - ydf).max()
+
+    # unsupported configurations are rejected, not silently wrong
+    import pytest
+    from qgs_tpu.integrators.rk import rk2_tableau
+    a2, b2, c2 = rk2_tableau()
+    bad = RungeKuttaIntegrator(a=a2, b=b2, c=c2, precision="twofloat")
+    bad.set_func(f)
+    with pytest.raises(ValueError):
+        bad.integrate(0., 1., 0.1, ic=ic)

@@ -80,6 +80,33 @@ def test_df_contraction_accuracy(maooam):
     assert rel32.max() > 1e-8
 
 
+def test_df_contraction_any_row_width():
+    """Regression: rows whose nnz count is not a power of two (e.g. the
+    4x4/4x4 MAOOAM truncation, max 24 per row) must reduce exactly — the
+    old tree assumed power-of-two widths and mis-shaped/dropped lanes."""
+    pars = QgParams()
+    pars.set_atmospheric_channel_fourier_modes(4, 4)
+    pars.set_oceanic_basin_fourier_modes(4, 4)
+    pars.set_params({'kd': 0.029, 'kdp': 0.029, 'n': 1.5, 'r': 1.e-7,
+                     'h': 136.5, 'd': 1.1e-7})
+    _, _, tensor = create_tendencies(pars, return_qgtensor=True)
+    T = tensor.tensor
+    counts = np.bincount(np.asarray(T.coords[0]), minlength=T.shape[0])
+    assert counts.max() & (counts.max() - 1), "config no longer exercises odd widths"
+
+    rng = np.random.default_rng(5)
+    x = rng.random((4, pars.ndim + 1)) * 0.1
+    x[:, 0] = 1.0
+    ref = np.einsum('ijk,bj,bk->bi', np.asarray(T.todense()), x, x)
+    for accumulate in ("strict", "fast"):
+        quad = make_df_quadratic(T, accumulate=accumulate)
+        out = np.asarray(df_to_f64(jax.jit(quad)(df_from_f64(jnp.asarray(x)))))
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        # 'fast' carries the CPU-backend barrier-stripping penalty (~1e-8);
+        # on TPU both are ~1e-14 (see make_df_quadratic docstring)
+        assert rel < (1e-12 if accumulate == "strict" else 1e-6), (accumulate, rel)
+
+
 def test_df_rk4_trajectory(maooam):
     from qgs_tpu.integrators.rk import integrate_runge_kutta
     pars, f, tensor = maooam
