@@ -120,3 +120,39 @@ def test_estimator_classes(attractor_ic):
     cest.compute_clvs(0., 20., 50., 70., 0.01, 0.01, attractor_ic[0], write_steps=5)
     t, traj, exps, vecs = cest.get_clvs()
     assert np.isfinite(exps).all()
+
+
+def test_qg_model_lyapunov_spectrum():
+    """Lyapunov toolbox driven by the actual QG model (RP atmosphere,
+    20-dim): the spectrum must show (a) a positive leading exponent (the
+    configuration is chaotic), (b) a near-zero exponent (time-translation
+    invariance of the autonomous flow), and (c) a sum equal to the
+    time-mean phase-space divergence trace(Df) along the trajectory."""
+    import jax.numpy as jnp
+    from qgs_tpu.params.params import QgParams
+    from qgs_tpu.models.tendencies import create_tendencies
+
+    pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.3})
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.ground_params.set_orography(0.4, 1)
+    pars.atemperature_params.set_thetas(0.2, 0)
+    f, Df = create_tendencies(pars)
+
+    rng = np.random.default_rng(0)
+    ic = rng.random((2, pars.ndim)) * 0.01
+    _, ic = integrate_runge_kutta(f.batched, 0., 3000., 0.1, ic, write_steps=0)
+
+    t, traj, exps, vecs = compute_backward_lyapunovs(
+        f.batched, Df.batched, 0., 100., 500., 0.1, 0.1, np.asarray(ic),
+        write_steps=1)
+    mean_exps = np.asarray(exps).mean(axis=-1)
+
+    for b in range(2):
+        m = mean_exps[b]
+        assert m[0] > 0.03, m[0]                       # chaotic
+        assert np.abs(m).min() < 0.01, m               # neutral direction
+        assert np.all(np.diff(m) < 0.05), m            # ~descending order
+        J = np.asarray(Df.batched(
+            0., jnp.asarray(np.moveaxis(np.asarray(traj)[b], -1, 0))))
+        divergence = np.trace(J, axis1=1, axis2=2).mean()
+        assert abs(m.sum() - divergence) < 0.05, (m.sum(), divergence)

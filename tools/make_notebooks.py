@@ -77,6 +77,11 @@ CATALOG = {
         "The three device precision tiers (float32, double-float 2xf32, "
         "emulated float64) and their accuracy/throughput trade-offs — "
         "TPU-specific; no reference counterpart."),
+    "external_solvers.py": (
+        "external_solvers.ipynb",
+        "Feeding the `f(t, x)` tendency contract to external ODE suites "
+        "(scipy RK45 / LSODA) — counterpart of the reference's "
+        "`diffeq_test` notebook (DifferentialEquations.jl via diffeqpy)."),
 }
 
 SHIM = re.compile(
