@@ -72,13 +72,15 @@ def make_rk_step(f, a, b, c, dtype=jnp.float64):
     c = np.asarray(c)
 
     def step(y, tt, dt):
-        k = []
+        dt64 = dt
+        dt = jnp.asarray(dt, dtype=y.dtype)   # keep f32 states f32 (no silent
+        k = []                                # promotion through a traced f64 dt)
         for i in range(s):
             y_s = y
             for l in range(i):
                 if a[i, l] != 0.0:
                     y_s = y_s + dt * float(a[i, l]) * k[l]
-            k.append(f(tt + float(c[i]) * dt, y_s))
+            k.append(f(tt + float(c[i]) * dt64, y_s))
         y_new = y
         for i in range(s):
             if b[i] != 0.0:
@@ -114,6 +116,8 @@ def make_tgls_step(f, fjac, a, b, c, adjoint=False, inverse=False, boundary=None
 
     def step(carry, tt, dt):
         y, dm = carry
+        dt64 = dt
+        dt = jnp.asarray(dt, dtype=y.dtype)   # see make_rk_step: no promotion
         k, km = [], []
         for i in range(s):
             y_s, dm_s = y, dm
@@ -121,7 +125,7 @@ def make_tgls_step(f, fjac, a, b, c, adjoint=False, inverse=False, boundary=None
                 if a[i, l] != 0.0:
                     y_s = y_s + dt * float(a[i, l]) * k[l]
                     dm_s = dm_s + dt * float(a[i, l]) * km[l]
-            ts = tt + float(c[i]) * dt
+            ts = tt + float(c[i]) * dt64
             k.append(f(ts, y_s))
             km.append(tangent_rhs(ts, y_s, dm_s))
         y_new, dm_new = y, dm

@@ -70,7 +70,9 @@ def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=Fals
     def window(carry, tt):
         def sub(carry2, k):
             ts = tt + k * h
-            return step(carry2, ts, jnp.asarray(h, dtype=jnp.result_type(float))), None
+            # substep in the state's dtype: an f64 scalar would silently
+            # promote an f32 ensemble to (TPU-emulated) f64
+            return step(carry2, ts, jnp.asarray(h, dtype=carry2[0].dtype)), None
 
         carry2, _ = jax.lax.scan(sub, carry, jnp.arange(n_sub))
         y2, M = carry2
@@ -103,7 +105,7 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     n_rec_w = _n_windows(tw, t, dt)
 
     rng = np.random.default_rng(seed)
-    Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0])
+    Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0], dtype=ic.dtype)
     Q0 = jnp.broadcast_to(Q0[None], (B, n, n_vec))
 
     window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse)
@@ -122,7 +124,7 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
         # seed exponent from one extra window at tw - dt? reference uses the
         # R of the *previous* window; emit the carry-in exponent instead
         (state, exps), (ys, Qs, exps_s) = jax.lax.scan(
-            rec_window, ((y, Q), jnp.zeros((B, n_vec))),
+            rec_window, ((y, Q), jnp.zeros((B, n_vec), dtype=ic.dtype)),
             tw + dt * jnp.arange(n_rec_w))
         # append final point
         ys = jnp.concatenate([ys, state[0][None]], axis=0)
@@ -167,7 +169,7 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     n_sub = _n_sub(dt, mdt)
 
     rng = np.random.default_rng(seed)
-    Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0])
+    Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0], dtype=ic.dtype)
     Q0 = jnp.broadcast_to(Q0[None], (B, n, n_vec))
 
     window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse,
@@ -178,7 +180,8 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
         # forward trajectory, stored at window boundaries
         def fwd_window(y, tt):
             def sub(y2, k):
-                return fwd_step(y2, tt + k * mdt, jnp.asarray(mdt)), None
+                return fwd_step(y2, tt + k * mdt,
+                                jnp.asarray(mdt, dtype=y2.dtype)), None
 
             y2, _ = jax.lax.scan(sub, y, jnp.arange(n_sub))
             return y2, y2
@@ -209,7 +212,9 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
         rec_tts = tw - dt * jnp.arange(n_rec_w)
         rec_ys = ys[n_rec_w - jnp.arange(n_rec_w)]
         (Qf, Rf), (ys_r, Qs_r, exps_r) = jax.lax.scan(
-            rec_window, (Q, R_last[-1] if n_post > 0 else jnp.zeros((B, n_vec, n_vec))),
+            rec_window,
+            (Q, R_last[-1] if n_post > 0
+             else jnp.zeros((B, n_vec, n_vec), dtype=ic.dtype)),
             (rec_tts, rec_ys))
         exps_f = jnp.log(jnp.abs(jnp.diagonal(Rf, axis1=-2, axis2=-1))) / dt
         ys_r = jnp.concatenate([ys_r, ys[0][None]], axis=0)
@@ -253,11 +258,13 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     n_post = _n_windows(tb, tc, dt)
 
     rng = np.random.default_rng(seed)
-    Q0 = jnp.asarray(np.linalg.qr(rng.standard_normal((n, n_vec)))[0])
+    Q0 = jnp.asarray(np.linalg.qr(rng.standard_normal((n, n_vec)))[0],
+                     dtype=ic.dtype)
     Q0 = jnp.broadcast_to(Q0[None], (B, n, n_vec))
     A0 = np.linalg.qr(rng.standard_normal((n_vec, n_vec)))[1]
     A0 = A0 / np.linalg.norm(A0, axis=0, keepdims=True)
-    A0 = jnp.broadcast_to(jnp.asarray(A0)[None], (B, n_vec, n_vec))
+    A0 = jnp.broadcast_to(jnp.asarray(A0, dtype=ic.dtype)[None],
+                          (B, n_vec, n_vec))
 
     window = make_window_step(f, fjac, dt, mdt, tableau)
 
@@ -366,7 +373,7 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
     def local_exps(ys, vs):
         def one(carry, inp):
             y, v = inp
-            _, v2 = tgls((y, v), jnp.asarray(0.0), jnp.asarray(mdt))
+            _, v2 = tgls((y, v), jnp.asarray(0.0), jnp.asarray(mdt, dtype=y.dtype))
             _, norms = _normalize_columns(v2)
             return carry, jnp.log(jnp.abs(norms)) / mdt
 

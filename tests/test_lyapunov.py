@@ -156,3 +156,24 @@ def test_qg_model_lyapunov_spectrum():
             0., jnp.asarray(np.moveaxis(np.asarray(traj)[b], -1, 0))))
         divergence = np.trace(J, axis1=1, axis2=2).mean()
         assert abs(m.sum() - divergence) < 0.05, (m.sum(), divergence)
+
+
+def test_lyapunov_f32_dtype_preserved(attractor_ic):
+    """An f32 ensemble must stay f32 end-to-end (no silent promotion to
+    f64 — on TPU that would fall into the ~60x-slower emulated-f64 path)."""
+    import jax.numpy as jnp
+
+    def f32(t, x):
+        return f63(t, x.astype(jnp.float32)).astype(jnp.float32)
+
+    def Df32(t, x):
+        return Df63(t, x.astype(jnp.float32)).astype(jnp.float32)
+
+    ic32 = np.asarray(attractor_ic, np.float32)
+    t, traj, exps, vecs = compute_backward_lyapunovs(
+        f32, Df32, 0., 10., 60., 0.01, 0.01, ic32, write_steps=1)
+    assert np.asarray(traj).dtype == np.float32
+    assert np.asarray(exps).dtype == np.float32
+    assert np.asarray(vecs).dtype == np.float32
+    mean_exps = np.asarray(exps, np.float64).mean(axis=-1)
+    assert np.allclose(mean_exps[0], L63_SPECTRUM, atol=0.5), mean_exps[0]

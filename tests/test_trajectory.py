@@ -157,3 +157,25 @@ def test_jax_trajectory_matches_native_oracle():
     _, y_j = integrate_runge_kutta(f.batched, 0., 1000., 0.1, x, write_steps=0)
     assert np.allclose(np.asarray(y_j), y_c, rtol=1e-6, atol=1e-8), \
         np.abs(np.asarray(y_j) - y_c).max()
+
+
+def test_f32_dtype_preserved_through_scan():
+    """f32 states must stay f32 through the scan integrators: the traced
+    f64 (t, dt) pairs used to promote the carry, which on TPU silently
+    falls into the ~60x-slower emulated-f64 path (and broke lax.scan carry
+    typing for f32 ensembles)."""
+    import jax.numpy as jnp
+    from qgs_tpu.integrators.rk import integrate_runge_kutta_tgls
+
+    pars = _maooam_params()
+    f, Df = create_tendencies(pars, dtype=jnp.float32)
+    ic = (np.random.default_rng(0).random((4, pars.ndim)) * 0.01).astype(np.float32)
+
+    _, y = integrate_runge_kutta(f.batched, 0., 5., 0.1, ic, write_steps=0)
+    assert np.asarray(y).dtype == np.float32
+
+    _, y, m = integrate_runge_kutta_tgls(f.batched, Df.batched, 0., 1., 0.1,
+                                         ic, np.eye(pars.ndim, dtype=np.float32),
+                                         write_steps=0)
+    assert np.asarray(y).dtype == np.float32
+    assert np.asarray(m).dtype == np.float32
