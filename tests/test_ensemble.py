@@ -103,3 +103,30 @@ def test_twofloat_precision_tier():
     bad.set_func(f)
     with pytest.raises(ValueError):
         bad.integrate(0., 1., 0.1, ic=ic)
+
+
+def test_mode_sharded_tendency_matches_unsharded():
+    """Tensor-parallel tendency (reduction axis sharded over the 'model'
+    mesh axis, one psum per eval) must agree with the plain batched
+    contraction on a 4x2 (ensemble x model) virtual mesh."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from qgs_tpu.parallel.sharded_tendency import make_sharded_tendency
+
+    pars = QgParams()
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.set_oceanic_basin_fourier_modes(2, 4)
+    pars.set_params({'kd': 0.029, 'kdp': 0.029, 'n': 1.5, 'r': 1.e-7,
+                     'h': 136.5, 'd': 1.1e-7})
+    f, Df, tensor = create_tendencies(pars, return_qgtensor=True)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("ensemble", "model"))
+    f_sharded = make_sharded_tendency(tensor.tensor, mesh)
+
+    x = np.random.default_rng(11).random((16, pars.ndim)) * 0.05
+    xs = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P("ensemble", None)))
+    out_sharded = np.asarray(jax.jit(f_sharded)(0., xs))
+    out_plain = np.asarray(f.batched(0., jnp.asarray(x)))
+    assert np.allclose(out_sharded, out_plain, rtol=1e-12, atol=1e-13), \
+        np.abs(out_sharded - out_plain).max()
