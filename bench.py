@@ -60,9 +60,13 @@ def measure_baseline(tensor, ndim, n_steps=1500):
 
     if native.available():
         y = np.random.default_rng(0).random(ndim) * 0.01
-        native.rk4_integrate(tensor.tensor, y, 0.1, 200)      # warmup
+        # generous warmup + many repeats with max(): the 2-core host is
+        # shared and contention only ever slows a run down, so the max is a
+        # stable estimator of the baseline's true speed (observed spread
+        # without this: 348k-515k steps/s run-to-run)
+        native.rk4_integrate(tensor.tensor, y, 0.1, 20000)    # warmup
         best = 0.0
-        for _ in range(3):
+        for _ in range(8):
             t0 = time.perf_counter()
             native.rk4_integrate(tensor.tensor, y, 0.1, 20000)
             best = max(best, 20000 / (time.perf_counter() - t0))

@@ -69,7 +69,7 @@ def build_tensor(params, aip, oip, gip):
 
 
 def create_tendencies(params, return_inner_products=False, return_qgtensor=False,
-                      mode="auto", dtype=None):
+                      mode="auto", dtype=None, precision=None):
     """Build the jit-compiled tendencies ``f(t, x)`` and Jacobian ``Df(t, x)``.
 
     Both returned callables operate on single states (shape (ndim,)) like the
@@ -80,7 +80,7 @@ def create_tendencies(params, return_inner_products=False, return_qgtensor=False
     agotensor = build_tensor(params, aip, oip, gip)
 
     f_b, jac_b = make_tendency_fns(agotensor.tensor, agotensor.jacobian_tensor,
-                                   mode=mode, dtype=dtype)
+                                   mode=mode, dtype=dtype, precision=precision)
 
     f_batched = jax.jit(f_b)
     Df_batched = jax.jit(jac_b)
@@ -102,7 +102,7 @@ def create_tendencies(params, return_inner_products=False, return_qgtensor=False
 
 
 def create_atmo_thermo_tendencies(params, return_atmo_thermo_tensor=False,
-                                  mode="auto", dtype=None):
+                                  mode="auto", dtype=None, precision=None):
     """Thermodynamic-only atmospheric tendencies (used to diagnose the
     vertical velocity omega as f - f_thermo)."""
     aip, oip, gip = _build_inner_products(params)
@@ -115,7 +115,7 @@ def create_atmo_thermo_tendencies(params, return_atmo_thermo_tensor=False,
         tensor = AtmoThermoTensor(params, aip, oip, gip)
 
     f_b, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
-                               mode=mode, dtype=dtype)
+                               mode=mode, dtype=dtype, precision=precision)
     f = jax.jit(single_state(f_b))
     f.batched = jax.jit(f_b)
 

@@ -39,13 +39,24 @@ def _default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _resolve_precision(precision):
+    """Matmul precision for the contraction kernels.  The TPU default for
+    f32 matmuls is a single bf16 pass — measured 2e-3 rel error on the
+    MAOOAM tendencies, silently breaking the float32 tier's ~1e-6 promise.
+    Default HIGHEST (bf16x6, true-f32 accurate, 4e-8 rel measured, still
+    ~30M traj-steps/s); pass 'default' explicitly for raw bf16 speed
+    (~3x) when tendency-level accuracy does not matter."""
+    return jax.lax.Precision.HIGHEST if precision is None else precision
+
+
 # ---------------------------------------------------------------------------
 # Dense rank-3 kernels
 # ---------------------------------------------------------------------------
 
-def make_dense_quadratic(tensor: COO, dtype=None):
+def make_dense_quadratic(tensor: COO, dtype=None, precision=None):
     """Return ``f(xx) -> out`` with ``out[b,i] = sum_jk T[i,j,k] xx[b,j] xx[b,k]``."""
     dtype = dtype or _default_dtype()
+    precision = _resolve_precision(precision)
     T = jnp.asarray(tensor.todense(), dtype=dtype)
     n1 = T.shape[0]
     # matricized layout for a single big matmul: (n1, n1*n1)
@@ -53,23 +64,25 @@ def make_dense_quadratic(tensor: COO, dtype=None):
 
     def quad(xx):
         outer = (xx[:, :, None] * xx[:, None, :]).reshape(xx.shape[0], n1 * n1)
-        return outer @ T2.T
+        return jnp.matmul(outer, T2.T, precision=precision)
 
     return quad
 
 
-def make_dense_bilinear(jtensor: COO, dtype=None):
+def make_dense_bilinear(jtensor: COO, dtype=None, precision=None):
     """Return ``J(xx) -> (B, n1, n1)`` with ``J[b,i,j] = sum_k JT[i,j,k] xx[b,k]``
     (reference convention: the Jacobian column is axis 1 of the jacobian
     tensor, contraction over the trailing axis, ref ``sparse_mul.py:14-45``)."""
     dtype = dtype or _default_dtype()
+    precision = _resolve_precision(precision)
     JT = jnp.asarray(jtensor.todense(), dtype=dtype)
     n1 = JT.shape[0]
     # (B, n1) @ (n1, n1*n1): contract the trailing index k
     J2 = JT.transpose(2, 0, 1).reshape(n1, n1 * n1)
 
     def jac(xx):
-        return (xx @ J2).reshape(xx.shape[0], n1, n1)
+        return jnp.matmul(xx, J2, precision=precision).reshape(
+            xx.shape[0], n1, n1)
 
     return jac
 
@@ -78,13 +91,14 @@ def make_dense_bilinear(jtensor: COO, dtype=None):
 # COO gather-scatter kernels (any rank)
 # ---------------------------------------------------------------------------
 
-def make_coo_contraction(tensor: COO, dtype=None):
+def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     """Return ``f(xx) -> out`` for a COO tensor of any rank r >= 2:
     ``out[b, i] = sum_e val[e] * prod_{axis=1..r-1} xx[b, coords[axis, e]]``.
 
     The scatter to the output index runs as a dense matmul with a one-hot
     (nnz, n1) matrix — MXU-friendly, deterministic summation order."""
     dtype = dtype or _default_dtype()
+    precision = _resolve_precision(precision)
     coords = tensor.coords
     rank = tensor.rank
     n1 = tensor.shape[0]
@@ -107,18 +121,19 @@ def make_coo_contraction(tensor: COO, dtype=None):
         prod = val[None, :]
         for idx in idxs:
             prod = prod * xx[:, idx]
-        return prod @ S
+        return jnp.matmul(prod, S, precision=precision)
 
     return contract
 
 
-def make_coo_jacobian(jtensor: COO, dtype=None):
+def make_coo_jacobian(jtensor: COO, dtype=None, precision=None):
     """Return ``J(xx) -> (B, n1, n1)`` for a COO Jacobian tensor of rank r:
     ``J[b, i, j] = sum_e val[e] * prod_{axis=2..r-1} xx[b, coords[axis,e]]``
     scattered at ``(i, j) = (coords[0,e], coords[1,e])`` — the reference's
     ``sparse_mul2``/``sparse_mul4`` convention (column at axis 1, contraction
     over the trailing axes)."""
     dtype = dtype or _default_dtype()
+    precision = _resolve_precision(precision)
     coords = jtensor.coords
     rank = jtensor.rank
     n1 = jtensor.shape[0]
@@ -142,7 +157,8 @@ def make_coo_jacobian(jtensor: COO, dtype=None):
             prod = val[None, :]
             for idx in idxs:
                 prod = prod * xx[:, idx]
-            return (prod @ S).reshape(xx.shape[0], n1, n1)
+            return jnp.matmul(prod, S, precision=precision).reshape(
+                xx.shape[0], n1, n1)
     else:
         # large rank-5 jacobians: scatter-add (the one-hot matrix would be
         # nnz x n1^2 — hundreds of MB)
@@ -169,7 +185,8 @@ def _with_dummy(x):
     return jnp.concatenate([ones, x], axis=-1)
 
 
-def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None):
+def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
+                      precision=None):
     """Build the batched tendency and Jacobian functions from a tendency
     tensor and its Jacobian tensor (any rank >= 3).
 
@@ -179,22 +196,25 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None):
     * ``jac_batch(t, x)``: (B, ndim) -> (B, ndim, ndim)
 
     ``mode``: 'dense' | 'coo' | 'auto' (dense for rank 3, coo for rank 5).
+    ``precision``: matmul precision for the contraction (default HIGHEST —
+    see :func:`_resolve_precision`; pass 'default' for raw-bf16 speed).
     """
     dtype = dtype or _default_dtype()
     rank = tensor.rank
     if mode == "auto":
-        # dense einsum wins while the densified tensor stays small (per-step
-        # FLOPs ~ 2 B n^3); at high mode counts the gather-scatter COO path
-        # (~2 B nnz n) takes over
+        # gather-scatter COO does ~2 B nnz n FLOPs vs the dense einsum's
+        # ~2 B n^3: with these tensors' sparsity it wins across the board
+        # (measured 40.5M vs 25.7M traj-steps/s f32 at MAOOAM size on v5e);
+        # dense only pays off if the tensor is a sizable fraction dense
         n1 = tensor.shape[0]
-        mode = "dense" if (rank == 3 and n1 ** 3 <= 2_000_000) else "coo"
+        mode = "dense" if (rank == 3 and tensor.nnz * 8 > n1 ** 3) else "coo"
 
     if mode == "dense" and rank == 3:
-        quad = make_dense_quadratic(tensor, dtype)
-        bil = make_dense_bilinear(jtensor, dtype)
+        quad = make_dense_quadratic(tensor, dtype, precision)
+        bil = make_dense_bilinear(jtensor, dtype, precision)
     else:
-        quad = make_coo_contraction(tensor, dtype)
-        bil = make_coo_jacobian(jtensor, dtype)
+        quad = make_coo_contraction(tensor, dtype, precision)
+        bil = make_coo_jacobian(jtensor, dtype, precision)
 
     def f_batch(t, x):
         xx = _with_dummy(x)

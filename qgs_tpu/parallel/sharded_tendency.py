@@ -63,7 +63,9 @@ def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None):
         lo = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * T_local.shape[0]
         local = jax.lax.dynamic_slice(outer_pad, (jnp.int32(0), lo),
                                       (B, T_local.shape[0]))
-        partial = local @ T_local
+        # HIGHEST: the TPU f32 matmul default is one bf16 pass (~2e-3 rel)
+        partial = jnp.matmul(local, T_local,
+                             precision=jax.lax.Precision.HIGHEST)
         return jax.lax.psum(partial, MODEL_AXIS)
 
     def f(t, x):
