@@ -32,6 +32,20 @@ from qgs_tpu.ops.contraction import make_tendency_fns, single_state
 
 def _build_inner_products(params):
     """Pick analytic or symbolic inner products from the configuration."""
+    if params.T4 or params.dynamic_T:
+        # the analytic closed forms do not provide the quartic z/v
+        # coefficients over the extended (constant-mode) basis — same
+        # limitation as the reference, where the analytic accessors are
+        # no-ops (ref ``qgs/inner_products/analytic.py:432-436``), but
+        # fail loudly here instead of with a shape error deep in assembly
+        blocks = [("atmospheric", params.ablocks),
+                  ("oceanic", params.oblocks), ("ground", params.gblocks)]
+        used = [name for name, b in blocks if b is not None]
+        if used:
+            raise ValueError(
+                "dynamic_T/T4 configurations need symbolic inner products: "
+                f"set the {'/'.join(used)} modes with mode='symbolic' "
+                "(analytic inner products have no quartic coefficients)")
     aip = oip = gip = None
     if params.ablocks is not None:
         aip = AtmosphericAnalyticInnerProducts(params)

@@ -95,3 +95,19 @@ def test_t4_integration_smoke(t4_system):
     x0[vr[2]] = 0.12     # T_o0
     t, y = integrate_runge_kutta(f_b, 0., 10., 0.01, x0, write_steps=0)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_dynamic_t_analytic_ips_rejected():
+    """dynamic_T/T4 with analytic (wavenumber-block) inner products must be
+    rejected with a clear error: the analytic closed forms carry no quartic
+    coefficients (the reference's accessors are silent no-ops,
+    ref ``qgs/inner_products/analytic.py:432-436``, and it crashes deep in
+    tensor assembly instead)."""
+    from qgs_tpu.models.tendencies import create_tendencies
+
+    pars = QgParams(dynamic_T=True)
+    pars.set_atmospheric_channel_fourier_modes(2, 2)   # analytic blocks
+    pars.set_oceanic_basin_fourier_modes(2, 4)
+    pars.set_params({'kd': 0.04, 'kdp': 0.04, 'n': 1.5})
+    with pytest.raises(ValueError, match="symbolic"):
+        create_tendencies(pars)
