@@ -126,6 +126,55 @@ def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     return contract
 
 
+def make_rowsum_contraction(tensor: COO, dtype=None):
+    """Return ``f(xx) -> out`` for a COO tensor of any rank r >= 2, with the
+    per-row reduction done as a VPU sum instead of a one-hot scatter matmul.
+
+    Entries are padded into a row-grouped ``(n1, R)`` layout (R = max
+    nonzeros per output row; padding slots carry value 0, contributing
+    exactly 0): gather the state at each contraction index, multiply, and
+    ``sum`` over the R slots.  This removes the (B, nnz) x (nnz, n1)
+    scatter matmul entirely — at HIGHEST precision that matmul is ~6x
+    B*nnz*n1 MACs and dominates the COO path (measured ~25 TFLOP/s of
+    mostly-padding work at MAOOAM size); the row-sum does B*n1*R exact-f32
+    VPU ops.  Deterministic summation order (fixed slot order per row)."""
+    dtype = dtype or _default_dtype()
+    coords = tensor.coords
+    rank = tensor.rank
+    n1 = tensor.shape[0]
+    if tensor.nnz == 0:
+        zero = jnp.zeros((n1,), dtype=dtype)
+
+        def empty(xx):
+            return jnp.broadcast_to(zero, (xx.shape[0], n1))
+
+        return empty
+
+    rows = np.asarray(coords[0])
+    counts = np.bincount(rows, minlength=n1)
+    R = max(int(counts.max()), 1)
+    vals = np.zeros((n1, R))
+    idx_slots = [np.zeros((n1, R), np.int64) for _ in range(1, rank)]
+    ptr = np.zeros(n1, np.int64)
+    for e in range(tensor.nnz):
+        i = rows[e]
+        vals[i, ptr[i]] = tensor.data[e]
+        for axis in range(1, rank):
+            idx_slots[axis - 1][i, ptr[i]] = coords[axis][e]
+        ptr[i] += 1
+
+    V = jnp.asarray(vals.reshape(-1), dtype=dtype)
+    idx_flats = [jnp.asarray(s.reshape(-1)) for s in idx_slots]
+
+    def contract(xx):
+        prod = V[None, :]
+        for idxf in idx_flats:
+            prod = prod * jnp.take(xx, idxf, axis=1)
+        return prod.reshape(xx.shape[0], n1, R).sum(axis=-1)
+
+    return contract
+
+
 def make_coo_jacobian(jtensor: COO, dtype=None, precision=None):
     """Return ``J(xx) -> (B, n1, n1)`` for a COO Jacobian tensor of rank r:
     ``J[b, i, j] = sum_e val[e] * prod_{axis=2..r-1} xx[b, coords[axis,e]]``
@@ -195,23 +244,28 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
     * ``f_batch(t, x)``: (B, ndim) -> (B, ndim)
     * ``jac_batch(t, x)``: (B, ndim) -> (B, ndim, ndim)
 
-    ``mode``: 'dense' | 'coo' | 'auto' (dense for rank 3, coo for rank 5).
+    ``mode``: 'dense' | 'coo' | 'rowsum' | 'auto'.
     ``precision``: matmul precision for the contraction (default HIGHEST —
     see :func:`_resolve_precision`; pass 'default' for raw-bf16 speed).
     """
     dtype = dtype or _default_dtype()
     rank = tensor.rank
     if mode == "auto":
-        # gather-scatter COO does ~2 B nnz n FLOPs vs the dense einsum's
-        # ~2 B n^3: with these tensors' sparsity it wins across the board
-        # (measured 40.5M vs 25.7M traj-steps/s f32 at MAOOAM size on v5e);
-        # dense only pays off if the tensor is a sizable fraction dense
-        n1 = tensor.shape[0]
-        mode = "dense" if (rank == 3 and tensor.nnz * 8 > n1 ** 3) else "coo"
+        # cost per tendency eval: dense einsum ~ B n^3 MACs; COO
+        # gather-scatter ~ 6 B nnz n (HIGHEST scatter matmul); row-grouped
+        # gather + VPU row-sum ~ B n1 R elementwise ops (R = max row nnz) —
+        # orders of magnitude less arithmetic whenever rows are reasonably
+        # balanced, so it is the default unless padding blows up
+        rows = np.bincount(np.asarray(tensor.coords[0]),
+                           minlength=tensor.shape[0])
+        mode = "rowsum" if rows.max() <= 8 * max(rows.mean(), 1) else "coo"
 
     if mode == "dense" and rank == 3:
         quad = make_dense_quadratic(tensor, dtype, precision)
         bil = make_dense_bilinear(jtensor, dtype, precision)
+    elif mode == "rowsum":
+        quad = make_rowsum_contraction(tensor, dtype)
+        bil = make_coo_jacobian(jtensor, dtype, precision)
     else:
         quad = make_coo_contraction(tensor, dtype, precision)
         bil = make_coo_jacobian(jtensor, dtype, precision)
