@@ -190,8 +190,27 @@ def _scan_chunks(step_pytree, carry0, td_all, write_steps):
 # Each distinct (tendency fn, tableau, write stride, tangent options) pair
 # compiles one scan; subsequent calls with the same time-grid length reuse
 # the jitted executable (jit caches by input shapes).
+#
+# Keys hold *strong references* to the tendency functions themselves (they
+# are hashable by identity): keying on ``id(f)`` would let a garbage-
+# collected function's address be reused by a new function, silently
+# serving it the stale compiled scan.  The cache is bounded (FIFO) so the
+# strong refs cannot accumulate without limit.
 
-_SCAN_CACHE = {}
+from collections import OrderedDict
+
+_SCAN_CACHE = OrderedDict()
+_SCAN_CACHE_MAX = 128
+
+
+def _scan_cache_get(key, build):
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _SCAN_CACHE[key] = fn
+        while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
+            _SCAN_CACHE.popitem(last=False)
+    return fn
 
 
 def _tableau_key(a, b, c):
@@ -199,26 +218,25 @@ def _tableau_key(a, b, c):
 
 
 def _get_plain_scan(f, a, b, c, write_steps):
-    key = (id(f), _tableau_key(a, b, c), write_steps, 'plain')
-    fn = _SCAN_CACHE.get(key)
-    if fn is None:
+    key = (f, _tableau_key(a, b, c), write_steps, 'plain')
+
+    def build():
         step = make_rk_step(f, a, b, c)
-        fn = jax.jit(lambda carry0, td: _scan_chunks(lambda y, tt, dt_: step(y, tt, dt_),
-                                                     carry0, td, write_steps))
-        _SCAN_CACHE[key] = fn
-    return fn
+        return jax.jit(lambda carry0, td: _scan_chunks(
+            lambda y, tt, dt_: step(y, tt, dt_), carry0, td, write_steps))
+
+    return _scan_cache_get(key, build)
 
 
 def _get_tgls_scan(f, fjac, a, b, c, write_steps, adjoint, inverse, boundary):
-    key = (id(f), id(fjac), _tableau_key(a, b, c), write_steps, adjoint, inverse,
-           None if boundary is None else id(boundary))
-    fn = _SCAN_CACHE.get(key)
-    if fn is None:
+    key = (f, fjac, _tableau_key(a, b, c), write_steps, adjoint, inverse, boundary)
+
+    def build():
         step = make_tgls_step(f, fjac, a, b, c, adjoint=adjoint, inverse=inverse,
                               boundary=boundary)
-        fn = jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
-        _SCAN_CACHE[key] = fn
-    return fn
+        return jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
+
+    return _scan_cache_get(key, build)
 
 
 def integrate_runge_kutta(f, t0, t, dt, ic, forward=True, write_steps=1,
@@ -259,15 +277,15 @@ def integrate_runge_kutta(f, t0, t, dt, ic, forward=True, write_steps=1,
 
 
 def _get_df_scan(tensor, write_steps, gather, accumulate):
-    key = (id(tensor), write_steps, gather, accumulate, 'df')
-    fn = _SCAN_CACHE.get(key)
-    if fn is None:
+    key = (tensor, write_steps, gather, accumulate, 'df')
+
+    def build():
         from qgs_tpu.ops.twofloat import make_df_rk4_step_dynamic
         step = make_df_rk4_step_dynamic(tensor, gather=gather,
                                         accumulate=accumulate)
-        fn = jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
-        _SCAN_CACHE[key] = fn
-    return fn
+        return jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
+
+    return _scan_cache_get(key, build)
 
 
 def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
