@@ -247,7 +247,13 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     """Covariant Lyapunov vectors between ``ta`` and ``tb`` via the Ginelli
     method: forward Benettin pass storing (Q, R), backward triangular-solve
     pass from ``tc``.  Memory scales with the number of ``dt`` windows in
-    [ta, tc] (the reference documents the same constraint)."""
+    [ta, tc] (the reference documents the same constraint).
+
+    ``noise_pert`` regularizes near-tangencies: after every backward
+    triangular solve, Gaussian noise of that amplitude is added to the
+    diagonal of the coefficient matrix before column renormalization
+    (Kuptsov & Parlitz 2012; ref ``qgs/toolbox/lyapunov.py:773-784`` setter,
+    applied in the backward Ginelli loop at ``:1258-1276``)."""
     ic = jnp.atleast_2d(jnp.asarray(ic))
     B, n = ic.shape
     if n_vec is None:
@@ -267,6 +273,12 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
                           (B, n_vec, n_vec))
 
     window = make_window_step(f, fjac, dt, mdt, tableau)
+
+    # per-backward-step diagonal regularization noise (host-drawn so the
+    # zero-amplitude path is bitwise identical to no regularization)
+    noise = jnp.asarray(
+        rng.standard_normal((n_rec + n_post, B, n_vec)) * noise_pert,
+        dtype=ic.dtype)
 
     @jax.jit
     def run(y0, Q0, A0):
@@ -288,16 +300,24 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
         _, Rs_post = jax.lax.scan(post_window, (y, Q), tb + dt * jnp.arange(n_post))
         R_all = jnp.concatenate([Rs, Rs_post], axis=0)    # (n_rec + n_post, B, v, v)
 
-        # backward Ginelli pass: a_{i} = normalize(R_i^{-1} a_{i+1})
-        def back(carry, R):
+        # backward Ginelli pass: a_{i} = normalize(R_i^{-1} a_{i+1}), with
+        # optional Gaussian diagonal noise against near-tangency
+        # ill-conditioning (exactly zero contribution when noise_pert == 0)
+        diag_idx = jnp.arange(n_vec)
+
+        def back(carry, inp):
             A = carry
+            R, nz = inp
             A_new = jax.scipy.linalg.solve_triangular(R, A, lower=False)
+            A_new = A_new.at[..., diag_idx, diag_idx].add(nz)
             A_n, norms = _normalize_columns(A_new)
             return A_n, (A_n, norms)
 
         # converge over the post segment (reversed), then record
-        A_conv, _ = jax.lax.scan(back, A0, R_all[n_rec:][::-1])
-        _, (As, norms) = jax.lax.scan(back, A_conv, R_all[:n_rec][::-1])
+        A_conv, _ = jax.lax.scan(back, A0,
+                                 (R_all[n_rec:][::-1], noise[n_rec:][::-1]))
+        _, (As, norms) = jax.lax.scan(back, A_conv,
+                                      (R_all[:n_rec][::-1], noise[:n_rec][::-1]))
         As = As[::-1]                                     # A at window starts ta..tb-dt
         norms = norms[::-1]
 
@@ -339,10 +359,12 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
     tt_b, traj, bexp, bvec = compute_backward_lyapunovs(
         f, fjac, t0, ta, tb, dt, mdt, ic, n_vec=n, write_steps=write_steps,
         tableau=tableau, seed=seed)
-    # forward vectors on the same span [ta, tb], converging over [tb, tc]
+    # forward vectors on the same span [ta, tb], converging over [tb, tc]:
+    # the forward pass starts at ta, so its IC is the state at ta — the
+    # first recorded point of the backward pass (for every batch size)
+    ic_at_ta = traj.reshape(B, n, -1)[:, :, 0]
     tt_f, _, fexp, fvec = compute_forward_lyapunovs(
-        f, fjac, ta, tb, tc, dt, mdt, ic if ic.shape[0] > 1 else traj.reshape(
-            B, n, -1)[:, :, 0],
+        f, fjac, ta, tb, tc, dt, mdt, ic_at_ta,
         n_vec=n, write_steps=write_steps, tableau=tableau, seed=seed)
 
     bvec_ = jnp.asarray(bvec).reshape(B, n, n, -1)

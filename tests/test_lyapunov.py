@@ -177,3 +177,91 @@ def test_lyapunov_f32_dtype_preserved(attractor_ic):
     assert np.asarray(vecs).dtype == np.float32
     mean_exps = np.asarray(exps, np.float64).mean(axis=-1)
     assert np.allclose(mean_exps[0], L63_SPECTRUM, atol=0.5), mean_exps[0]
+
+
+def test_ginelli_noise_pert(attractor_ic):
+    """noise_pert must (a) be a no-op at 0.0, (b) actually perturb the
+    backward Ginelli pass when set (round-1 review: it was silently
+    ignored), (c) leave a well-conditioned spectrum essentially unchanged
+    at small amplitude."""
+    args = (f63, Df63, 0., 20., 60., 80., 0.01, 0.01, attractor_ic[:1])
+    t0_, _, exps0, vecs0 = compute_clvs_ginelli(*args, write_steps=1)
+    _, _, exps0b, vecs0b = compute_clvs_ginelli(*args, write_steps=1,
+                                                noise_pert=0.0)
+    assert np.array_equal(np.asarray(vecs0), np.asarray(vecs0b))
+
+    _, _, exps1, vecs1 = compute_clvs_ginelli(*args, write_steps=1,
+                                              noise_pert=1e-3)
+    assert not np.array_equal(np.asarray(vecs0), np.asarray(vecs1)), \
+        "noise_pert had no effect"
+    # small regularization must not destroy the exponents
+    m0 = np.asarray(exps0).mean(axis=-1)
+    m1 = np.asarray(exps1).mean(axis=-1)
+    assert np.allclose(np.sort(m0), np.sort(m1), atol=0.2)
+
+    # estimator-class plumbing
+    cest = CovariantLyapunovsEstimator(noise_pert=1e-3)
+    cest.set_func(f63, Df63)
+    cest.compute_clvs(0., 20., 50., 70., 0.01, 0.01, attractor_ic[0],
+                      write_steps=5)
+    _, _, exps, vecs = cest.get_clvs()
+    assert np.isfinite(exps).all() and np.isfinite(vecs).all()
+
+
+def test_clvs_subspace_batch_boundary(attractor_ic):
+    """B=1 and B=2 (duplicated IC) must take the same code path and give
+    identical CLVs per member (round-1 review: the forward-pass IC switched
+    between the state at t0 and the state at ta depending on batch size)."""
+    ic1 = attractor_ic[:1]
+    ic2 = np.repeat(ic1, 2, axis=0)
+    out1 = compute_clvs_subspace(
+        f63, Df63, 0., 10., 30., 45., 0.01, 0.01, ic1, write_steps=5)
+    out2 = compute_clvs_subspace(
+        f63, Df63, 0., 10., 30., 45., 0.01, 0.01, ic2, write_steps=5)
+    vecs1 = np.asarray(out1[3])                       # (n, n_vec, T)
+    vecs2 = np.asarray(out2[3])                       # (B, n, n_vec, T)
+    assert vecs2.shape[0] == 2
+    assert np.allclose(vecs2[0], vecs1, atol=1e-10)
+    assert np.allclose(vecs2[1], vecs1, atol=1e-10)
+
+
+def test_qg_clv_cross_method():
+    """Ginelli vs subspace-intersection CLVs on the QG model itself: the
+    leading vectors must align and the mean exponents agree."""
+    from qgs_tpu.params.params import QgParams
+    from qgs_tpu.models.tendencies import create_tendencies
+
+    pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.3})
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.ground_params.set_orography(0.4, 1)
+    pars.atemperature_params.set_thetas(0.2, 0)
+    f, Df = create_tendencies(pars)
+
+    rng = np.random.default_rng(1)
+    ic = rng.random((1, pars.ndim)) * 0.01
+    _, ic = integrate_runge_kutta(f.batched, 0., 3000., 0.1, ic,
+                                  write_steps=0)
+    ic = np.atleast_2d(np.asarray(ic))
+
+    # QG spectrum gaps are ~0.01, so convergence spans must be O(100) time
+    # units (unlike L63, where 20 suffices)
+    tg, _, eg, vg = compute_clvs_ginelli(
+        f.batched, Df.batched, 0., 300., 400., 700., 0.1, 0.1, ic,
+        write_steps=1)
+    ts, _, es, vs = compute_clvs_subspace(
+        f.batched, Df.batched, 0., 300., 400., 700., 0.1, 0.1, ic,
+        write_steps=1)
+
+    vg = np.asarray(vg)                               # (n, n_vec, T)
+    vs = np.asarray(vs)
+    # leading-two CLV alignment at interior record points (higher vectors
+    # suffer physical near-tangencies: exponents 3/4 are nearly degenerate)
+    T = vg.shape[-1]
+    for k in range(T // 4, 3 * T // 4 + 1, max(T // 4, 1)):
+        for j in range(2):
+            c = abs(np.dot(vg[:, j, k], vs[:, j, k]))
+            assert c > 0.99, (k, j, c)
+    # mean leading exponents agree between the two methods
+    mg = np.sort(np.asarray(eg).mean(axis=-1))
+    ms = np.sort(np.asarray(es).mean(axis=-1))
+    assert np.allclose(mg[-2:], ms[-2:], atol=0.02), (mg[-2:], ms[-2:])
