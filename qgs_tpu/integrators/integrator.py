@@ -233,7 +233,8 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
         time, traj, fmat = integrate_runge_kutta_tgls(
             self.func, self.func_jac, t0, t, dt, jnp.asarray(ic2), tg_ic,
             forward=forward, adjoint=adjoint, inverse=inverse, boundary=boundary,
-            write_steps=write_steps, b=self.b, c=self.c, a=self.a)
+            write_steps=write_steps, b=self.b, c=self.c, a=self.a,
+            mesh=self.mesh)
 
         self._time = time
         self._recorded_traj = jnp.squeeze(traj) if single else traj

@@ -324,11 +324,15 @@ def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
 
 def integrate_runge_kutta_tgls(f, fjac, t0, t, dt, ic, tg_ic, forward=True,
                                adjoint=False, inverse=False, boundary=None,
-                               write_steps=1, b=None, c=None, a=None):
+                               write_steps=1, b=None, c=None, a=None,
+                               mesh=None):
     """Integrate the coupled (trajectory, tangent-linear) system.
 
     ``tg_ic`` may be (ndim,), (B, ndim) or (B, ndim, n_tg) — a fundamental
     matrix of tangent vectors is propagated in the last case.
+    With ``mesh``, the ensemble (batch) axis of both the trajectory and the
+    tangent blocks is sharded across the mesh (the (B, n, n_tg) fundamental
+    matrices are the memory/compute-heavy part of this workload).
     Returns ``(times, traj, fmatrix)`` (reference shapes, squeezed).
     """
     ic = jnp.atleast_2d(jnp.asarray(ic))
@@ -344,6 +348,12 @@ def integrate_runge_kutta_tgls(f, fjac, t0, t, dt, ic, tg_ic, forward=True,
     elif tg.ndim == 3 and tg.shape[1] != n:
         tg = jnp.swapaxes(tg, 1, 2)
 
+    n_orig = B
+    if mesh is not None and mesh.devices.size > 1 and B >= mesh.devices.size:
+        from qgs_tpu.parallel.mesh import shard_ensemble
+        ic, n_orig = shard_ensemble(ic, mesh)
+        tg, _ = shard_ensemble(tg, mesh)
+
     if a is None and b is None and c is None:
         a, b, c = rk4_tableau()
 
@@ -354,8 +364,8 @@ def integrate_runge_kutta_tgls(f, fjac, t0, t, dt, ic, tg_ic, forward=True,
     scan_fn = _get_tgls_scan(f, fjac, a, b, c, write_steps, adjoint, inverse, boundary)
     td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
     _, recs = scan_fn((ic, tg), td_all)
-    traj = jnp.moveaxis(recs[0], 0, -1)        # (B, ndim, n_records)
-    fmat = jnp.moveaxis(recs[1], 0, -1)        # (B, ndim, n_tg, n_records)
+    traj = jnp.moveaxis(recs[0][:, :n_orig], 0, -1)    # (B, ndim, n_records)
+    fmat = jnp.moveaxis(recs[1][:, :n_orig], 0, -1)    # (B, ndim, n_tg, n_records)
 
     if not forward:
         traj = traj[..., ::-1]

@@ -30,7 +30,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from qgs_tpu.integrators.rk import make_rk_step, make_tgls_step, rk4_tableau
+
+
+def _shard_ic(mesh, ic):
+    """Shard a (B, n) IC batch over the mesh's ensemble axis (padding the
+    batch if needed).  Returns ``(ic, n_orig, put)`` where ``put(x, k)``
+    device-puts ``x`` with its axis ``k`` sharded over 'ensemble' (the
+    TPU-native analogue of the reference's pool-parallel estimators,
+    ref ``qgs/toolbox/lyapunov.py:155,816``)."""
+    if mesh is None or mesh.devices.size <= 1 or ic.shape[0] < mesh.devices.size:
+        return ic, ic.shape[0], lambda x, k=0: x
+    from qgs_tpu.parallel.mesh import shard_ensemble
+
+    ic, n_orig = shard_ensemble(ic, mesh)
+
+    def put(x, k=0):
+        spec = [None] * x.ndim
+        spec[k] = "ensemble"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return ic, n_orig, put
 
 
 def _n_windows(t0, t1, dt):
@@ -88,15 +110,18 @@ def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=Fals
 
 def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
                                write_steps=1, adjoint=False, inverse=False,
-                               tableau=None, seed=0):
+                               tableau=None, seed=0, mesh=None):
     """Backward Lyapunov vectors/exponents between ``tw`` and ``t`` after a
     convergence transient from ``t0`` to ``tw`` (Benettin QR algorithm).
 
-    ``f``/``fjac`` must be batched; ``ic`` is (B, n) or (n,).
+    ``f``/``fjac`` must be batched; ``ic`` is (B, n) or (n,).  With
+    ``mesh``, the ensemble axis (incl. the (B, n, n_vec) tangent blocks)
+    is sharded across the mesh.
     Returns ``(times, traj, exponents, vectors)`` with reference shapes
     (B, n, n_rec), (B, n_vec, n_rec), (B, n, n_vec, n_rec) squeezed.
     """
     ic = jnp.atleast_2d(jnp.asarray(ic))
+    ic, n_orig, put = _shard_ic(mesh, ic)
     B, n = ic.shape
     if n_vec is None:
         n_vec = n
@@ -106,7 +131,7 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
 
     rng = np.random.default_rng(seed)
     Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0], dtype=ic.dtype)
-    Q0 = jnp.broadcast_to(Q0[None], (B, n, n_vec))
+    Q0 = put(jnp.broadcast_to(Q0[None], (B, n, n_vec)))
 
     window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse)
 
@@ -141,20 +166,21 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     if write_steps == 0:
         idx = np.array([n_rec_w])
 
-    traj = jnp.moveaxis(ys[idx], 0, -1)
-    vecs = jnp.moveaxis(Qs[idx], 0, -1)
-    lexp = jnp.moveaxis(exps[idx], 0, -1)
+    traj = jnp.moveaxis(ys[idx][:, :n_orig], 0, -1)
+    vecs = jnp.moveaxis(Qs[idx][:, :n_orig], 0, -1)
+    lexp = jnp.moveaxis(exps[idx][:, :n_orig], 0, -1)
     return times[idx], jnp.squeeze(traj), jnp.squeeze(lexp), jnp.squeeze(vecs)
 
 
 def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
                               write_steps=1, adjoint=False, inverse=False,
-                              tableau=None, seed=0):
+                              tableau=None, seed=0, mesh=None):
     """Forward Lyapunov vectors/exponents between ``t0`` and ``tw``: the
     trajectory is integrated forward to ``t``, then the tangent flow is
     propagated backward with QR re-orthonormalization (converging over
     [t, tw], recording over [tw, t0])."""
     ic = jnp.atleast_2d(jnp.asarray(ic))
+    ic, n_orig, put = _shard_ic(mesh, ic)
     B, n = ic.shape
     if n_vec is None:
         n_vec = n
@@ -170,7 +196,7 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
 
     rng = np.random.default_rng(seed)
     Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0], dtype=ic.dtype)
-    Q0 = jnp.broadcast_to(Q0[None], (B, n, n_vec))
+    Q0 = put(jnp.broadcast_to(Q0[None], (B, n, n_vec)))
 
     window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse,
                               backward=True)
@@ -232,9 +258,9 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     if write_steps == 0:
         idx = np.array([0])
 
-    traj = jnp.moveaxis(ys[idx], 0, -1)
-    vecs = jnp.moveaxis(Qs[idx], 0, -1)
-    lexp = jnp.moveaxis(-exps[idx], 0, -1)
+    traj = jnp.moveaxis(ys[idx][:, :n_orig], 0, -1)
+    vecs = jnp.moveaxis(Qs[idx][:, :n_orig], 0, -1)
+    lexp = jnp.moveaxis(-exps[idx][:, :n_orig], 0, -1)
     return times[idx], jnp.squeeze(traj), jnp.squeeze(lexp), jnp.squeeze(vecs)
 
 
@@ -243,7 +269,8 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
 # ---------------------------------------------------------------------------
 
 def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
-                         write_steps=1, tableau=None, seed=0, noise_pert=0.0):
+                         write_steps=1, tableau=None, seed=0, noise_pert=0.0,
+                         mesh=None):
     """Covariant Lyapunov vectors between ``ta`` and ``tb`` via the Ginelli
     method: forward Benettin pass storing (Q, R), backward triangular-solve
     pass from ``tc``.  Memory scales with the number of ``dt`` windows in
@@ -255,6 +282,7 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     (Kuptsov & Parlitz 2012; ref ``qgs/toolbox/lyapunov.py:773-784`` setter,
     applied in the backward Ginelli loop at ``:1258-1276``)."""
     ic = jnp.atleast_2d(jnp.asarray(ic))
+    ic, n_orig, put = _shard_ic(mesh, ic)
     B, n = ic.shape
     if n_vec is None:
         n_vec = n
@@ -266,19 +294,19 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     rng = np.random.default_rng(seed)
     Q0 = jnp.asarray(np.linalg.qr(rng.standard_normal((n, n_vec)))[0],
                      dtype=ic.dtype)
-    Q0 = jnp.broadcast_to(Q0[None], (B, n, n_vec))
+    Q0 = put(jnp.broadcast_to(Q0[None], (B, n, n_vec)))
     A0 = np.linalg.qr(rng.standard_normal((n_vec, n_vec)))[1]
     A0 = A0 / np.linalg.norm(A0, axis=0, keepdims=True)
-    A0 = jnp.broadcast_to(jnp.asarray(A0, dtype=ic.dtype)[None],
-                          (B, n_vec, n_vec))
+    A0 = put(jnp.broadcast_to(jnp.asarray(A0, dtype=ic.dtype)[None],
+                              (B, n_vec, n_vec)))
 
     window = make_window_step(f, fjac, dt, mdt, tableau)
 
     # per-backward-step diagonal regularization noise (host-drawn so the
     # zero-amplitude path is bitwise identical to no regularization)
-    noise = jnp.asarray(
+    noise = put(jnp.asarray(
         rng.standard_normal((n_rec + n_post, B, n_vec)) * noise_pert,
-        dtype=ic.dtype)
+        dtype=ic.dtype), 1)
 
     @jax.jit
     def run(y0, Q0, A0):
@@ -341,14 +369,15 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     if write_steps == 0:
         idx = np.array([n_rec])
 
-    traj = jnp.moveaxis(ys[idx], 0, -1)
-    vecs = jnp.moveaxis(clvs[idx], 0, -1)
-    lexp = jnp.moveaxis(exps[idx], 0, -1)
+    traj = jnp.moveaxis(ys[idx][:, :n_orig], 0, -1)
+    vecs = jnp.moveaxis(clvs[idx][:, :n_orig], 0, -1)
+    lexp = jnp.moveaxis(exps[idx][:, :n_orig], 0, -1)
     return times[idx], jnp.squeeze(traj), jnp.squeeze(lexp), jnp.squeeze(vecs)
 
 
 def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
-                          tableau=None, seed=0, return_blvs=False, return_flvs=False):
+                          tableau=None, seed=0, return_blvs=False, return_flvs=False,
+                          mesh=None):
     """Covariant Lyapunov vectors by intersecting the BLV and FLV subspaces
     (Eckmann-Ruelle / Kuptsov-Parlitz): CLV_j spans
     ``span(BLV_1..j) ∩ span(FLV_1..n-j+1)``.  Lower memory than Ginelli for
@@ -358,14 +387,14 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
 
     tt_b, traj, bexp, bvec = compute_backward_lyapunovs(
         f, fjac, t0, ta, tb, dt, mdt, ic, n_vec=n, write_steps=write_steps,
-        tableau=tableau, seed=seed)
+        tableau=tableau, seed=seed, mesh=mesh)
     # forward vectors on the same span [ta, tb], converging over [tb, tc]:
     # the forward pass starts at ta, so its IC is the state at ta — the
     # first recorded point of the backward pass (for every batch size)
     ic_at_ta = traj.reshape(B, n, -1)[:, :, 0]
     tt_f, _, fexp, fvec = compute_forward_lyapunovs(
         f, fjac, ta, tb, tc, dt, mdt, ic_at_ta,
-        n_vec=n, write_steps=write_steps, tableau=tableau, seed=seed)
+        n_vec=n, write_steps=write_steps, tableau=tableau, seed=seed, mesh=mesh)
 
     bvec_ = jnp.asarray(bvec).reshape(B, n, n, -1)
     fvec_ = jnp.asarray(fvec).reshape(B, n, n, -1)
@@ -418,16 +447,19 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
 # ---------------------------------------------------------------------------
 
 class LyapunovsEstimator:
-    """Benettin BLV/FLV estimator with the reference's class API."""
+    """Benettin BLV/FLV estimator with the reference's class API.  Pass a
+    ``mesh`` to shard the IC ensemble (and its tangent blocks) across
+    devices — the TPU-native replacement of the reference's worker pool."""
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
-                 number_of_dimensions=None):
+                 number_of_dimensions=None, mesh=None):
         self.tableau = (a, b, c) if a is not None else None
         self.func = None
         self.func_jac = None
         self.n_dim = number_of_dimensions
         self.ic = None
         self._result = None
+        self.mesh = mesh
 
     def set_func(self, f, fjac):
         self.func = getattr(f, "batched", f)
@@ -464,12 +496,12 @@ class LyapunovsEstimator:
             self._result = compute_forward_lyapunovs(
                 self.func, self.func_jac, t0, tw, t, dt, mdt, ic, n_vec=n_vec,
                 write_steps=write_steps, adjoint=adjoint, inverse=inverse,
-                tableau=self.tableau)
+                tableau=self.tableau, mesh=self.mesh)
         else:
             self._result = compute_backward_lyapunovs(
                 self.func, self.func_jac, t0, tw, t, dt, mdt, ic, n_vec=n_vec,
                 write_steps=write_steps, adjoint=adjoint, inverse=inverse,
-                tableau=self.tableau)
+                tableau=self.tableau, mesh=self.mesh)
 
     def get_lyapunovs(self):
         """Return ``(times, trajectory, exponents, vectors)``."""
@@ -481,7 +513,7 @@ class CovariantLyapunovsEstimator:
     """CLV estimator (Ginelli method 0 / subspace method 1)."""
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
-                 number_of_dimensions=None, noise_pert=0.0):
+                 number_of_dimensions=None, noise_pert=0.0, mesh=None):
         self.tableau = (a, b, c) if a is not None else None
         self.func = None
         self.func_jac = None
@@ -492,6 +524,7 @@ class CovariantLyapunovsEstimator:
         self._blvs = None
         self._flvs = None
         self.method = 0
+        self.mesh = mesh
 
     def set_func(self, f, fjac):
         self.func = getattr(f, "batched", f)
@@ -537,13 +570,14 @@ class CovariantLyapunovsEstimator:
             self._result = compute_clvs_ginelli(
                 self.func, self.func_jac, t0, ta, tb, tc, dt, mdt, ic,
                 n_vec=n_vec, write_steps=write_steps, tableau=self.tableau,
-                noise_pert=self.noise_pert)
+                noise_pert=self.noise_pert, mesh=self.mesh)
             self._blvs = self._flvs = None
         else:
             out = compute_clvs_subspace(
                 self.func, self.func_jac, t0, ta, tb, tc, dt, mdt, ic,
                 write_steps=write_steps, tableau=self.tableau,
-                return_blvs=backward_vectors, return_flvs=forward_vectors)
+                return_blvs=backward_vectors, return_flvs=forward_vectors,
+                mesh=self.mesh)
             self._result = out[:4]
             k = 4
             self._blvs = out[k] if backward_vectors else None
