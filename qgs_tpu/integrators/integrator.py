@@ -21,7 +21,8 @@ from qgs_tpu.integrators.rk import (
     integrate_runge_kutta, integrate_runge_kutta_df, integrate_runge_kutta_tgls,
     rk4_tableau,
 )
-from qgs_tpu.parallel.mesh import ensemble_mesh, shard_ensemble
+from qgs_tpu.parallel.mesh import ensemble_mesh, ensemble_size, shard_ensemble
+from qgs_tpu.parallel.distributed import gather_to_host
 
 
 def _batched(func):
@@ -159,7 +160,7 @@ class RungeKuttaIntegrator:
         self.n_dim = ic2.shape[1]
 
         # shard the ensemble across the mesh when it is worth it
-        if ic2.shape[0] >= self.mesh.devices.size > 1:
+        if ic2.shape[0] >= ensemble_size(self.mesh) > 1:
             ic_dev, n_orig = shard_ensemble(ic2, self.mesh)
         else:
             ic_dev, n_orig = jnp.asarray(ic2), ic2.shape[0]
@@ -189,8 +190,10 @@ class RungeKuttaIntegrator:
         self._write_steps = write_steps
 
     def get_trajectories(self):
-        """Return ``(time, trajectories)`` of the last integration."""
-        return self._time, np.asarray(self._recorded_traj)
+        """Return ``(time, trajectories)`` of the last integration.  In a
+        multi-process run the ensemble shards living on other hosts are
+        all-gathered first (every process must call this — SPMD)."""
+        return self._time, gather_to_host(self._recorded_traj)
 
     def get_ic(self):
         """Return the stored initial conditions (set by :meth:`initialize`)."""
@@ -255,5 +258,5 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
 
     def get_trajectories(self):
         """Return ``(time, trajectories, fundamental_matrices)``."""
-        return (self._time, np.asarray(self._recorded_traj),
-                np.asarray(self._recorded_fmatrix))
+        return (self._time, gather_to_host(self._recorded_traj),
+                gather_to_host(self._recorded_fmatrix))

@@ -48,12 +48,33 @@ def pad_batch(arr, multiple):
     return jnp.concatenate([arr, pad], axis=0), n
 
 
+def ensemble_size(mesh):
+    """Size of the mesh's ensemble axis (total devices for 1-D meshes)."""
+    return dict(mesh.shape).get(ENSEMBLE_AXIS, mesh.devices.size)
+
+
 def shard_ensemble(arr, mesh=None):
     """Device-put an ensemble array (leading batch axis) sharded across the
-    mesh, padding the batch if needed.  Returns (sharded, original_size)."""
+    mesh, padding the batch if needed.  Returns (sharded, original_size).
+
+    Works both single-process (plain ``device_put``) and multi-process (the
+    mesh spans hosts; every process passes the same host array and
+    contributes its local shards — see
+    :mod:`qgs_tpu.parallel.distributed`)."""
     if mesh is None:
         mesh = ensemble_mesh()
-    n_dev = mesh.devices.size
+    n_ens = ensemble_size(mesh)
+    sharding = ensemble_sharding(mesh)
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.ravel()):
+        host = np.asarray(arr)
+        rem = (-host.shape[0]) % n_ens
+        n = host.shape[0]
+        if rem:
+            host = np.concatenate(
+                [host, np.repeat(host[-1:], rem, axis=0)], axis=0)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]), n
     arr = jnp.asarray(arr)
-    padded, n = pad_batch(arr, n_dev)
-    return jax.device_put(padded, ensemble_sharding(mesh)), n
+    padded, n = pad_batch(arr, n_ens)
+    return jax.device_put(padded, sharding), n

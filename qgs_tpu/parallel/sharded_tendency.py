@@ -49,9 +49,15 @@ def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None):
     # pad the reduction axis to a multiple of the model-axis size
     red = n1 * n1
     red_pad = ((red + n_model - 1) // n_model) * n_model
-    T_pad = np.zeros((red_pad, n1))
+    T_pad = np.zeros((red_pad, n1), dtype=np.dtype(dtype))
     T_pad[:red] = T
-    T_dev = jnp.asarray(T_pad, dtype=dtype)
+    # place the tensor slices directly with their P('model', None) layout —
+    # required for correctness in multi-process runs (an uncommitted local
+    # array cannot be auto-resharded onto a multi-host mesh) and avoids a
+    # layout round-trip in the single-process case too.
+    T_dev = jax.make_array_from_callback(
+        T_pad.shape, NamedSharding(mesh, P(MODEL_AXIS, None)),
+        lambda idx: T_pad[idx])
 
     @partial_shard_map(mesh)
     def _tendency_core(T_local, xx):
