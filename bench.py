@@ -3,8 +3,26 @@
 throughput on the available accelerator, versus the reference-design CPU
 baseline measured on this host.
 
-Prints exactly ONE JSON line to stdout:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Prints exactly ONE JSON line to stdout with the headline metric plus the
+full precision/perf story:
+
+    {"metric": ..., "value": ..., "unit": "traj-steps/s", "vs_baseline": ...,
+     "tiers": {"float32": {...}, "twofloat": {...}, "float64": {...}},
+     "mode_updates_per_s_per_chip": ..., "achieved_tflops_f32": ...,
+     "mfu_vs_bf16_peak": ..., ...}
+
+Tiers (all vs the same baseline):
+  float32   — COO gather + scatter-matmul kernel, HIGHEST matmul precision
+              (true f32; the TPU default would silently be one bf16 pass)
+  twofloat  — double-float (2x f32) fused RK4 step, ~48-bit mantissa
+  float64   — XLA-emulated f64 (v5e has no native f64) — fidelity oracle
+
+FLOP accounting (for the utilization figures): the f32 tendency kernel's
+dominant work is the (B, nnz) x (nnz, n1) scatter matmul, so one RK4 step
+of one trajectory costs ~ 4 stages x (2*nnz*n1 + 3*nnz) FLOPs.  MFU is
+reported against the v5e bf16 peak (197 TFLOP/s); an exact-f32 matmul at
+HIGHEST precision costs multiple bf16 MXU passes, so the same achieved
+FLOP/s is also reported against the ~1/6-of-peak exact-f32 ceiling.
 
 Baseline protocol: the reference implementation (Climdyn/qgs) runs one Numba
 trajectory per CPU process (cpu_count processes).  Numba is not installed in
@@ -13,6 +31,10 @@ this image, so the baseline is the framework's own native C++ kernel
 loop, compiled -O3) measured per-core and scaled by cpu_count — a faithful
 stand-in for a Numba-jitted scalar loop.  Falls back to the vectorized-NumPy
 path x5 if no compiler is available.
+
+Env knobs: QGS_BENCH_DTYPE in {twofloat, float32, float64} runs ONLY that
+tier (and makes it the headline); unset runs all three.  QGS_BENCH_ENSEMBLE
+/ QGS_BENCH_STEPS override the per-tier defaults.
 """
 
 import json
@@ -21,6 +43,8 @@ import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*args):
@@ -33,7 +57,24 @@ ENSEMBLE = int(os.environ.get("QGS_BENCH_ENSEMBLE", 4096))
 # through the axon tunnel) distorts shorter runs; production integrations
 # are millions of steps, so steady-state throughput is the honest metric
 STEPS = int(os.environ.get("QGS_BENCH_STEPS", 1000))
-DTYPE = os.environ.get("QGS_BENCH_DTYPE", "twofloat")
+DTYPE = os.environ.get("QGS_BENCH_DTYPE")          # None = all tiers
+HEADLINE = DTYPE or "twofloat"
+
+V5E_PEAK_BF16_TFLOPS = 197.0
+EXACT_F32_PASSES = 6           # bf16 MXU passes per HIGHEST-precision f32 matmul
+
+
+def _tier_sizes(tier):
+    """(ensemble, steps) for a tier — f64 is ~60x slower (XLA-emulated), so
+    it gets a proportionally smaller measurement unless explicitly sized."""
+    ens = ENSEMBLE
+    steps = STEPS
+    if tier == "float64":
+        if "QGS_BENCH_ENSEMBLE" not in os.environ:
+            ens = min(ens, 256)
+        if "QGS_BENCH_STEPS" not in os.environ:
+            steps = min(steps, 50)
+    return ens, steps
 
 
 def build_system():
@@ -103,15 +144,17 @@ def measure_baseline(tensor, ndim, n_steps=1500):
     return best, NUMBA_ADVANTAGE
 
 
-def measure_device(tensor, ndim, dtype):
+def measure_device(tensor, ndim, tier):
+    """One tier's steady-state ensemble throughput (traj-steps/s)."""
     import jax
     import jax.numpy as jnp
     from qgs_tpu.integrators.rk import make_rk_step, rk4_tableau
     from qgs_tpu.parallel.mesh import ensemble_mesh, shard_ensemble
 
-    y0_np = np.random.default_rng(0).random((ENSEMBLE, ndim)) * 0.01
+    ens, steps = _tier_sizes(tier)
+    y0_np = np.random.default_rng(0).random((ens, ndim)) * 0.01
 
-    if dtype == "twofloat":
+    if tier == "twofloat":
         # double-float (2x f32) tier: ~48-bit mantissa at near-f32 speed —
         # the fidelity + throughput middle point (see qgs_tpu/ops/twofloat.py)
         from qgs_tpu.ops.twofloat import make_df_rk4_step, df_from_f64
@@ -120,9 +163,10 @@ def measure_device(tensor, ndim, dtype):
 
         @jax.jit
         def run(y):
-            return jax.lax.fori_loop(0, STEPS, lambda i, y: step(y), y)
+            return jax.lax.fori_loop(0, steps, lambda i, y: step(y), y)
 
         y0 = df_from_f64(jnp.asarray(y0_np))
+        log(f"compiling {tier} scan ...")
         y = run(y0)
         y[0].block_until_ready()
         t0 = time.perf_counter()
@@ -131,10 +175,11 @@ def measure_device(tensor, ndim, dtype):
         t1 = time.perf_counter()
         if not bool(np.isfinite(np.asarray(y[0][:1])).all()):
             raise RuntimeError("non-finite state after benchmark run")
-        return STEPS * ENSEMBLE / (t1 - t0)
+        return steps * ens / (t1 - t0), ens, steps
 
     from qgs_tpu.ops.contraction import make_tendency_fns
 
+    dtype = {"float64": jnp.float64, "float32": jnp.float32}[tier]
     f_batched, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
                                      dtype=dtype)
     a, b, c = rk4_tableau()
@@ -145,14 +190,14 @@ def measure_device(tensor, ndim, dtype):
         def body(i, y):
             return step(y, jnp.asarray(0.0, y.dtype), jnp.asarray(0.1, y.dtype))
 
-        return jax.lax.fori_loop(0, STEPS, body, y)
+        return jax.lax.fori_loop(0, steps, body, y)
 
     y0 = jnp.asarray(y0_np, dtype=dtype)
     mesh = ensemble_mesh()
     if mesh.devices.size > 1:
         y0, _ = shard_ensemble(y0, mesh)
 
-    log(f"compiling device scan (devices={jax.devices()}) ...")
+    log(f"compiling {tier} scan ...")
     y = run(y0)
     y.block_until_ready()
     t0 = time.perf_counter()
@@ -161,18 +206,28 @@ def measure_device(tensor, ndim, dtype):
     t1 = time.perf_counter()
     if not bool(np.isfinite(np.asarray(y[:1])).all()):
         raise RuntimeError("non-finite state after benchmark run")
-    return STEPS * ENSEMBLE / (t1 - t0)
+    return steps * ens / (t1 - t0), ens, steps
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    dtype = {"float64": jnp.float64, "float32": jnp.float32}.get(DTYPE, "twofloat")
+    # persistent compilation cache: makes re-runs of this benchmark (and the
+    # driver's capture) immune to the ~3-minute cold remote-compile tunnel
+    try:
+        cache_dir = os.path.join(REPO, ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as err:                       # cache is best-effort
+        log(f"persistent compilation cache unavailable: {err}")
+
+    tiers = [DTYPE] if DTYPE else ["float32", "twofloat", "float64"]
 
     log("building MAOOAM system ...")
     pars, f, Df, tensor = build_system()
-    log(f"ndim={pars.ndim}, tensor nnz={tensor.tensor.nnz}")
+    nnz = tensor.tensor.nnz
+    n1 = pars.ndim + 1
+    log(f"ndim={pars.ndim}, tensor nnz={nnz}")
 
     base_core, factor = measure_baseline(tensor, pars.ndim)
     n_cores = os.cpu_count() or 1
@@ -181,15 +236,49 @@ def main():
     log(f"baseline ({kind}): {base_core:,.0f} RK4 steps/s/core x {n_cores} "
         f"cores = {baseline:,.0f} traj-steps/s")
 
-    value = measure_device(tensor, pars.ndim, dtype)
-    log(f"device ensemble throughput ({DTYPE}, B={ENSEMBLE}): {value:,.0f} traj-steps/s")
+    n_chips = jax.device_count()
+    tier_results = {}
+    for tier in tiers:
+        value, ens, steps = measure_device(tensor, pars.ndim, tier)
+        tier_results[tier] = {
+            "traj_steps_per_s": value,
+            "vs_baseline": value / baseline,
+            "mode_updates_per_s_per_chip": value * pars.ndim / n_chips,
+            "ensemble": ens,
+            "steps": steps,
+        }
+        log(f"{tier}: {value:,.0f} traj-steps/s "
+            f"({value / baseline:.1f}x baseline, B={ens})")
 
-    print(json.dumps({
-        "metric": f"maooam_rk4_ensemble_throughput_{DTYPE}",
-        "value": value,
+    headline = tier_results[HEADLINE if HEADLINE in tier_results else tiers[0]]
+
+    # FLOP utilization, from the f32 kernel's scatter-matmul work (see
+    # module docstring); the same useful work underlies every tier.
+    flops_per_traj_step = 4 * (2 * nnz * n1 + 3 * nnz)
+    f32 = tier_results.get("float32")
+    achieved_tflops = (f32["traj_steps_per_s"] * flops_per_traj_step / n_chips
+                       / 1e12) if f32 else None
+    platform = jax.devices()[0].platform
+    report = {
+        "metric": f"maooam_rk4_ensemble_throughput_{HEADLINE}",
+        "value": headline["traj_steps_per_s"],
         "unit": "traj-steps/s",
-        "vs_baseline": value / baseline,
-    }))
+        "vs_baseline": headline["vs_baseline"],
+        "baseline_traj_steps_per_s": baseline,
+        "tiers": tier_results,
+        "mode_updates_per_s_per_chip": headline["mode_updates_per_s_per_chip"],
+        "n_chips": n_chips,
+        "platform": platform,
+        "flops_per_traj_step_f32": flops_per_traj_step,
+        "achieved_tflops_f32": achieved_tflops,
+    }
+    if achieved_tflops is not None and platform == "tpu":
+        report["mfu_vs_bf16_peak"] = achieved_tflops / V5E_PEAK_BF16_TFLOPS
+        report["mfu_vs_exact_f32_ceiling"] = (
+            achieved_tflops / (V5E_PEAK_BF16_TFLOPS / EXACT_F32_PASSES))
+        report["peak_tflops_bf16"] = V5E_PEAK_BF16_TFLOPS
+
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
