@@ -25,8 +25,13 @@ pattern exists.
 
 from __future__ import annotations
 
+import signal
+import threading
+import warnings
+
 import numpy as np
-from sympy import symbols, ImmutableSparseMatrix, ImmutableSparseNDimArray
+from sympy import (Float, lambdify, symbols, ImmutableSparseMatrix,
+                   ImmutableSparseNDimArray)
 from sympy.utilities.iterables import multiset_permutations
 
 from qgs_tpu.inner_products.base import (
@@ -92,15 +97,20 @@ def _quartic_coo(quad, A, Bgrid, n_left, n_right, dynamic_T, T4):
     return COO.from_dict(entries, shape)
 
 
+class _IntegrationTimeout(Exception):
+    """A single exact-SymPy integral exceeded the wall-clock budget."""
+
+
 class _SymbolicIPBase:
     """Shared engine setup for the symbolic inner-product classes."""
 
     def _setup_engine(self, n, inner_product_definition,
                       interaction_inner_product_definition, quadrature,
-                      return_symbolic, make_substitution):
+                      return_symbolic, make_substitution, timeout=None):
         self.n = n
         self.quadrature = quadrature
         self.return_symbolic = return_symbolic
+        self.timeout = timeout
         self.mk_subs = make_substitution if return_symbolic else True
         nsym = symbols('n', positive=True)
         self.subs = [(nsym, float(n))] if self.mk_subs else None
@@ -130,11 +140,73 @@ class _SymbolicIPBase:
         return self._quad_cache[key]
 
     def _exact_ip(self, method, *fns):
-        """Exact SymPy integration of one coefficient (symbolic or float)."""
-        res = method(*fns, symbolic_expr=False)
+        """Exact SymPy integration of one coefficient (symbolic or float).
+
+        With ``self.timeout`` set, each integral runs under a per-integral
+        wall-clock budget; a timed-out integral falls back to adaptive
+        numerical quadrature of its integrand — the same semantics as the
+        reference's pebble-pool timeout path (ref
+        ``qgs/inner_products/symbolic.py:1636-1697``)."""
+        try:
+            res = self._run_with_timeout(method, fns)
+        except _IntegrationTimeout:
+            val = self._quadrature_fallback(method, fns)
+            warnings.warn(
+                f"exact SymPy integration ({method.__name__}) exceeded the "
+                f"{self.timeout}s per-integral budget; fell back to "
+                f"numerical quadrature (value {val:.6e})", stacklevel=3)
+            if self.return_symbolic:
+                return Float(val)
+            return val
         if self.return_symbolic:
             return res
         return float(res.subs(self.subs)) if self.subs else float(res)
+
+    def _run_with_timeout(self, method, fns):
+        """Run one exact integration, bounded by ``self.timeout`` seconds.
+
+        Uses ``SIGALRM`` (SymPy integration is a pure-Python loop, so the
+        alarm interrupts it cleanly); on non-main threads — where signals
+        cannot be delivered — the integral runs unbounded, as before."""
+        if (self.timeout is None
+                or threading.current_thread() is not threading.main_thread()):
+            return method(*fns, symbolic_expr=False)
+
+        def _alarm(signum, frame):
+            raise _IntegrationTimeout
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.setitimer(signal.ITIMER_REAL, float(self.timeout))
+        try:
+            return method(*fns, symbolic_expr=False)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0.0)
+            signal.signal(signal.SIGALRM, old)
+
+    def _quadrature_fallback(self, method, fns):
+        """Adaptive scipy quadrature of one coefficient's integrand, results
+        below the quadrature error zeroed (ref ``symbolic.py:1585-1633``)."""
+        from scipy.integrate import dblquad
+
+        if self.n is None:
+            raise RuntimeError(
+                "integration timed out and no aspect ratio n is available "
+                "for the numerical fallback")
+        from sympy import sympify
+
+        expr, xb, yb = method(*fns, integrand=True)
+        nsym = symbols('n', positive=True)
+        expr = expr.subs(nsym, float(self.n))
+        x_lo, x_hi = (float(sympify(b).subs(nsym, float(self.n)))
+                      for b in xb[1:])
+        y_lo, y_hi = (float(sympify(b).subs(nsym, float(self.n)))
+                      for b in yb[1:])
+        f = lambdify((_x, _y), expr, 'numpy')
+        # dblquad integrates func(y, x) over y in [gfun, hfun], x in [a, b]
+        val, err = dblquad(lambda yy, xx: f(xx, yy), x_lo, x_hi, y_lo, y_hi)
+        if abs(val) <= max(err, 5e-11):
+            return 0.0
+        return val
 
     def _standard_fastpath(self, definition):
         return (type(definition) is StandardSymbolicInnerProductDefinition
@@ -187,7 +259,7 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
 
         self._setup_engine(n, inner_product_definition,
                            interaction_inner_product_definition, quadrature,
-                           return_symbolic, make_substitution)
+                           return_symbolic, make_substitution, timeout=timeout)
         self.stored = stored
         if stored and self.atmospheric_basis is not None:
             self.compute_inner_products()
@@ -211,6 +283,8 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
     # -- bulk computation ---------------------------------------------------
 
     def compute_inner_products(self, num_threads=None, timeout=None):
+        if timeout is not None:
+            self.timeout = timeout
         if self.return_symbolic or not self.quadrature:
             self._compute_exact()
         else:
@@ -302,6 +376,8 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
 
     def connect_to_ocean(self, ocean_basis, num_threads=None, timeout=None):
         """Compute s, d (and the quartic v) against an oceanic basis."""
+        if timeout is not None:
+            self.timeout = timeout
         if hasattr(ocean_basis, 'oceanic_basis'):   # accept an IP object too
             ocean_basis = ocean_basis.oceanic_basis
         self.ground_basis = None
@@ -313,6 +389,8 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
     def connect_to_ground(self, ground_basis, orographic_basis="atmospheric",
                           num_threads=None, timeout=None):
         """Compute s (and gh for a ground orographic basis)."""
+        if timeout is not None:
+            self.timeout = timeout
         if hasattr(ground_basis, 'ground_basis'):
             ground_basis = ground_basis.ground_basis
         self.oceanic_basis = None
@@ -454,7 +532,7 @@ class OceanicSymbolicInnerProducts(OceanicInnerProducts, _SymbolicIPBase):
 
         self._setup_engine(n, inner_product_definition,
                            interaction_inner_product_definition, quadrature,
-                           return_symbolic, make_substitution)
+                           return_symbolic, make_substitution, timeout=timeout)
         self.stored = stored
         if stored and self.oceanic_basis is not None:
             self.compute_inner_products()
@@ -466,6 +544,8 @@ class OceanicSymbolicInnerProducts(OceanicInnerProducts, _SymbolicIPBase):
         return len(self.oceanic_basis.functions)
 
     def compute_inner_products(self, num_threads=None, timeout=None):
+        if timeout is not None:
+            self.timeout = timeout
         exprs = _subs_basis(self.oceanic_basis)
         quad = self._quad(self.ip, self.oceanic_basis)
         g = quad.field_grids(exprs, lap_grad=True)
@@ -515,6 +595,8 @@ class OceanicSymbolicInnerProducts(OceanicInnerProducts, _SymbolicIPBase):
             self._C = COO.from_dict(C, (no, no, no)).todense()
 
     def connect_to_atmosphere(self, atmosphere_basis, num_threads=None, timeout=None):
+        if timeout is not None:
+            self.timeout = timeout
         if hasattr(atmosphere_basis, 'atmospheric_basis'):
             atmosphere_basis = atmosphere_basis.atmospheric_basis
         self.atmosphere_basis = atmosphere_basis
@@ -640,7 +722,7 @@ class GroundSymbolicInnerProducts(GroundInnerProducts, _SymbolicIPBase):
 
         self._setup_engine(n, inner_product_definition,
                            interaction_inner_product_definition, quadrature,
-                           return_symbolic, make_substitution)
+                           return_symbolic, make_substitution, timeout=timeout)
         self.stored = stored
         if stored and self.ground_basis is not None:
             self.compute_inner_products()
@@ -661,6 +743,8 @@ class GroundSymbolicInnerProducts(GroundInnerProducts, _SymbolicIPBase):
                                    self._dynamic_T and not self._T4, self._T4)
 
     def connect_to_atmosphere(self, atmosphere_basis, num_threads=None, timeout=None):
+        if timeout is not None:
+            self.timeout = timeout
         if hasattr(atmosphere_basis, 'atmospheric_basis'):
             atmosphere_basis = atmosphere_basis.atmospheric_basis
         self.atmosphere_basis = atmosphere_basis

@@ -9,6 +9,7 @@ from qgs_tpu.params.params import QgParams
 from qgs_tpu.inner_products.analytic import (
     AtmosphericAnalyticInnerProducts, OceanicAnalyticInnerProducts,
 )
+from qgs_tpu.inner_products.definition import StandardSymbolicInnerProductDefinition
 from qgs_tpu.inner_products.symbolic import (
     AtmosphericSymbolicInnerProducts, OceanicSymbolicInnerProducts,
 )
@@ -102,3 +103,60 @@ def test_quartic_z_is_u_for_dynamic_T():
     n = aip.natm
     dense = z.todense()
     assert np.allclose(dense[:, 0, 0, 0, :], np.asarray(aip._u), atol=1e-10)
+
+
+class _SlowDefinition(StandardSymbolicInnerProductDefinition):
+    """Standard inner product whose exact integration stalls: the stand-in
+    for a pathological custom basis whose SymPy integrals hang (the case the
+    reference guards with its pebble-pool per-integral timeout, ref
+    ``qgs/inner_products/symbolic.py:1636-1697``)."""
+
+    def __init__(self, delay):
+        super().__init__()
+        self.delay = delay
+
+    def symbolic_inner_product(self, S, G, symbolic_expr=False, integrand=False):
+        if not integrand:
+            import time
+            time.sleep(self.delay)      # interruptible, like a SymPy loop
+        return super().symbolic_inner_product(S, G, symbolic_expr=symbolic_expr,
+                                              integrand=integrand)
+
+
+def test_exact_timeout_falls_back_to_quadrature():
+    pars = QgParams()
+    pars.set_atmospheric_channel_fourier_modes(1, 1, mode='symbolic')
+
+    with pytest.warns(UserWarning, match="fell back to numerical quadrature"):
+        slow = AtmosphericSymbolicInnerProducts(
+            pars, quadrature=False, timeout=0.05,
+            inner_product_definition=_SlowDefinition(delay=10.0))
+
+    exact = AtmosphericSymbolicInnerProducts(pars, quadrature=False)
+    np.testing.assert_allclose(np.asarray(slow._u, dtype=float),
+                               np.asarray(exact._u, dtype=float),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(slow._a, dtype=float),
+                               np.asarray(exact._a, dtype=float),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(slow._b, dtype=float),
+                               np.asarray(exact._b, dtype=float),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_exact_timeout_return_symbolic_degrades_to_float():
+    from sympy import Float
+
+    pars = QgParams()
+    pars.set_atmospheric_channel_fourier_modes(1, 1, mode='symbolic')
+    with pytest.warns(UserWarning, match="fell back"):
+        slow = AtmosphericSymbolicInnerProducts(
+            pars, quadrature=False, timeout=0.05, return_symbolic=True,
+            inner_product_definition=_SlowDefinition(delay=10.0))
+    exact = AtmosphericSymbolicInnerProducts(pars, quadrature=False)
+    for i in range(slow.natm):
+        for j in range(slow.natm):
+            v = slow._u[i, j]
+            assert v == 0 or isinstance(v, Float)
+            np.testing.assert_allclose(float(v), float(exact._u[i, j]),
+                                       rtol=1e-8, atol=1e-10)
