@@ -119,7 +119,10 @@ class RungeKuttaIntegrator:
         """
         if ic is None:
             if self.n_dim is None:
-                raise ValueError("set number_of_dimensions or provide ic")
+                # reference-parity dimension auto-probe
+                # (ref ``qgs/integrators/integrate.py:131-143``)
+                from qgs_tpu.integrators.rk import infer_ndim
+                self.n_dim = infer_ndim(self.func)
             rng = np.random.default_rng()
             if reconverge and reconvergence_time is not None and number_of_trajectories > 1:
                 seed_ic = rng.standard_normal(self.n_dim)

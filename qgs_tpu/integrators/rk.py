@@ -239,14 +239,43 @@ def _get_tgls_scan(f, fjac, a, b, c, write_steps, adjoint, inverse, boundary):
     return _scan_cache_get(key, build)
 
 
-def integrate_runge_kutta(f, t0, t, dt, ic, forward=True, write_steps=1,
+def infer_ndim(f):
+    """Infer the state dimension of a batched tendency function by probing
+    it with zero states of growing size until the output is consistent —
+    the TPU-native analogue of the reference's grow-until-no-exception
+    probe (ref ``qgs/integrators/integrate.py:131-143``).  The contraction
+    kernels report their true dimension through the output shape, so the
+    probe almost always resolves on the first call."""
+    for n in range(1, 513):
+        try:
+            out = f(0., jnp.zeros((1, n)))
+        except Exception:
+            continue
+        m = int(out.shape[-1])
+        if m == n:
+            return n
+        try:
+            out2 = f(0., jnp.zeros((1, m)))
+        except Exception:
+            continue
+        if int(out2.shape[-1]) == m:
+            return m
+    raise ValueError("could not infer the model dimension from the "
+                     "tendency function; pass an explicit ic")
+
+
+def integrate_runge_kutta(f, t0, t, dt, ic=None, forward=True, write_steps=1,
                           b=None, c=None, a=None, squeeze=True):
     """Integrate dx/dt = f(t, x) over [t0, t] for a batch of initial
     conditions; reference-compatible wrapper returning
     ``(times, traj)`` with traj shaped (B, ndim, n_records) (squeezed).
 
     ``f`` must be a *batched* tendency function (B, ndim) -> (B, ndim).
+    With ``ic=None`` the state dimension is probed from ``f`` and a zero
+    initial condition is used (ref ``integrate.py:131-143``).
     """
+    if ic is None:
+        ic = jnp.zeros((1, infer_ndim(f)))
     ic = jnp.atleast_2d(jnp.asarray(ic))
     if a is None and b is None and c is None:
         a, b, c = rk4_tableau()

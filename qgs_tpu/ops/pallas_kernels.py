@@ -25,7 +25,9 @@ Layout inside the kernel (all float32):
 
 Numerics are validated in interpreter mode against the XLA-composed path
 (:mod:`qgs_tpu.ops.twofloat`), and the Mosaic path compiles and runs on
-TPU with this image's remote-compile helper.
+TPU with this image's remote-compile helper (the ``pallas_call`` must be
+traced with x64 scoped off — see the inline comment in
+:func:`make_pallas_df_rk4` — or the helper rejects any gridded kernel).
 """
 
 from __future__ import annotations
@@ -182,11 +184,14 @@ def make_pallas_df_rk4(tensor: COO, dt, n_steps, batch_block=256,
         assert B % batch_block == 0, "batch must be divisible by batch_block"
         grid = (B // batch_block,)
 
-        state_spec = pl.BlockSpec((batch_block, n), lambda i: (i, 0))
-        const_spec2 = pl.BlockSpec(Gj.shape, lambda i: (0, 0))
-        const_spec1 = pl.BlockSpec(Vhi.shape, lambda i: (0,))
-
-        with no_barriers():
+        # x64 must be scoped OFF around the trace: with jax_enable_x64 the
+        # grid/index-map scalars trace as i64, which this image's Mosaic
+        # compile helper rejects (HTTP 500 for ANY gridded kernel); the
+        # kernel itself is pure f32 so the scope changes nothing else.
+        with no_barriers(), jax.enable_x64(False):
+            state_spec = pl.BlockSpec((batch_block, n), lambda i: (i, 0))
+            const_spec2 = pl.BlockSpec(Gj.shape, lambda i: (0, 0))
+            const_spec1 = pl.BlockSpec(Vhi.shape, lambda i: (0,))
             out = pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -258,11 +263,11 @@ def make_pallas_rk4_f32(tensor: COO, dt, n_steps, batch_block=512,
         assert B % batch_block == 0, "batch must be divisible by batch_block"
         grid = (B // batch_block,)
 
-        state_spec = pl.BlockSpec((batch_block, n), lambda i: (i, 0))
-        const_spec2 = pl.BlockSpec(Gj.shape, lambda i: (0, 0))
-        const_spec1 = pl.BlockSpec(V.shape, lambda i: (0,))
-
-        with no_barriers():
+        # see make_pallas_df_rk4: x64 scoped OFF or Mosaic rejects the grid
+        with no_barriers(), jax.enable_x64(False):
+            state_spec = pl.BlockSpec((batch_block, n), lambda i: (i, 0))
+            const_spec2 = pl.BlockSpec(Gj.shape, lambda i: (0, 0))
+            const_spec1 = pl.BlockSpec(V.shape, lambda i: (0,))
             out = pl.pallas_call(
                 kernel,
                 grid=grid,

@@ -179,3 +179,24 @@ def test_f32_dtype_preserved_through_scan():
                                          write_steps=0)
     assert np.asarray(y).dtype == np.float32
     assert np.asarray(m).dtype == np.float32
+
+
+def test_dimension_autoprobe():
+    """ic=None infers ndim from the tendency function and integrates a zero
+    IC (ref ``qgs/integrators/integrate.py:131-143``)."""
+    import jax.numpy as jnp
+    from qgs_tpu.integrators.rk import infer_ndim, integrate_runge_kutta
+    from qgs_tpu.integrators.integrator import RungeKuttaIntegrator
+
+    from qgs_tpu.models.tendencies import create_tendencies
+    pars = _rp_params()
+    f, Df = create_tendencies(pars)
+    assert infer_ndim(f.batched) == pars.ndim
+
+    t, traj = integrate_runge_kutta(f.batched, 0., 1., 0.1)
+    assert traj.shape[0] == pars.ndim
+
+    integ = RungeKuttaIntegrator()
+    integ.set_func(f)
+    integ.initialize(10., 0.1, number_of_trajectories=2)
+    assert integ.get_ic().shape == (2, pars.ndim)
