@@ -23,7 +23,9 @@ from qgs_tpu.ops.contraction import make_tendency_fns
 x, y = symbols('x y')
 n = symbols('n', positive=True)
 
-# a hand-rolled channel basis
+# A hand-rolled basis: any list of SymPy expressions in (x, y) satisfying
+# the boundary conditions works; substitutions pin free symbols (here the
+# aspect ratio n).
 basis = SymbolicBasis()
 for i in (1, 2):
     for j in (1, 2):
@@ -31,6 +33,11 @@ for i in (1, 2):
 basis.substitutions = [(n, 1.5)]
 
 
+# A custom inner product: weight the integrand by exp(-y/2) (the
+# user-guide example of the reference).  Both the quadrature engine and
+# the exact SymPy engine consume the definition through the same
+# interface -- the quadrature engine reads .weight / .normalization, the
+# exact engine calls symbolic_inner_product.
 class ExponentiallyWeightedIP(StandardSymbolicInnerProductDefinition):
     """Inner product weighted by exp(-a y) (the user-guide example)."""
 
@@ -48,6 +55,9 @@ class ExponentiallyWeightedIP(StandardSymbolicInnerProductDefinition):
                                           symbolic_expr=symbolic_expr)
 
 
+# Wire the basis into the parameter object and compute the weighted inner
+# products; with a non-trivial weight the mass matrix u is no longer the
+# identity and the mass-matrix inversions in the tensor assembly matter.
 pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.1})
 pars.set_atmospheric_modes(basis, auto=True)
 

@@ -53,6 +53,11 @@ _, y0 = integrator.get_trajectories()
 integrator.integrate(0., 500., 0.1, ic=y0, write_steps=10)
 t, traj = integrator.get_trajectories()
 
+# Twelve field diagnostics rendered into one dashboard.  Each reconstructs
+# its field on a lat-lon grid as one matmul of the spectral coefficients
+# against the gridded basis; MiddleLayerVerticalVelocity additionally
+# solves the omega equation from the difference between the full and
+# thermodynamic-only tendencies (f - f_thermo).
 catalog = [
     LowerLayerAtmosphericStreamfunctionDiagnostic,
     UpperLayerAtmosphericStreamfunctionDiagnostic,
@@ -75,6 +80,8 @@ m(t, traj)
 m.plot(time_index=-1, figsize=(22, 18))
 plt.savefig("diagnostics_tour.png", dpi=80)
 
+# Profile diagnostics reduce a field to a 1-D meridional profile -- here
+# the zonally averaged eddy heat flux v'T'.
 prof = MiddleAtmosphericEddyHeatFluxProfileDiagnostic(pars)
 prof(t, traj)
 prof.plot(time_index=-1)

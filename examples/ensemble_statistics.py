@@ -20,9 +20,16 @@ pars.ground_params.set_orography(0.2, 1)
 pars.atemperature_params.set_thetas(0.2, 0)
 f, Df = create_tendencies(pars)
 
+# Ensembles are batched arrays sharded across the device mesh -- the
+# TPU-native replacement of the reference's one-OS-process-per-trajectory
+# pools.  Nothing here changes between 1 chip and a pod slice.
 integrator = RungeKuttaIntegrator(number_of_dimensions=pars.ndim)
 integrator.set_func(f)
 
+# initialize() spins ONE long transient, perturbs the converged state into
+# 32 members, and reconverges them briefly -- much cheaper than 32 long
+# transients.  compute_stats averages arbitrary observables over the
+# ensemble in chunked batches (num=2 splits the members into 2 batches).
 stats = TrajectoriesStatistics()
 stats.set_integrator(integrator)
 # one long transient + perturbed reconvergence for the rest of the ensemble

@@ -32,7 +32,9 @@ def main():
     pars.atemperature_params.set_thetas(0.2, 0)
     f, Df = create_tendencies(pars)
 
-    # plain-ndarray adapter: scipy passes/expects float64 ndarrays
+    # The whole framework's API contract is the pair f(t, x) / Df(t, x) --
+    # any external ODE machinery that accepts a callable works.  scipy
+    # passes/expects plain float64 ndarrays, so wrap the device calls.
     def rhs(t, y):
         return np.asarray(f(t, y))
 

@@ -26,6 +26,10 @@ from qgs_tpu.diagnostics.temperatures import (
 )
 from qgs_tpu.diagnostics.multi import MultiDiagnostic
 
+# The MAOOAM coupled ocean-atmosphere model of De Cruz, Demaeyer &
+# Vannitsem (GMD 2016): a 2x2-block channel atmosphere over a 2x4-block
+# closed ocean basin, coupled mechanically (wind stress d, friction kd) and
+# thermally (heat exchange + linearized radiation).  36 variables.
 pars = QgParams()
 pars.set_atmospheric_channel_fourier_modes(2, 2)
 pars.set_oceanic_basin_fourier_modes(2, 4)
@@ -36,6 +40,9 @@ pars.gotemperature_params.set_params({'gamma': 5.6e8, 'T0': 301.46})
 pars.atemperature_params.set_insolation(103.3333, 0)
 pars.gotemperature_params.set_insolation(310., 0)
 
+# Compile and integrate.  The ocean's slow heat reservoir makes true
+# equilibration take ~1e6 time units (see benchmarks/fidelity.py); 2e4 is
+# enough for a qualitative dashboard.
 f, Df = create_tendencies(pars)
 integrator = RungeKuttaIntegrator()
 integrator.set_func(f)
@@ -45,6 +52,9 @@ _, y0 = integrator.get_trajectories()
 integrator.integrate(0., 2000., 0.1, ic=y0, write_steps=20)
 t, traj = integrator.get_trajectories()
 
+# Compose a 2x2 dashboard of gridded fields sharing one trajectory:
+# atmospheric/oceanic streamfunctions and temperature anomalies.  The same
+# object can render movies (m.movie) and interactive widgets (m.animate).
 m = MultiDiagnostic(2, 2)
 m.add_diagnostic(MiddleAtmosphericStreamfunctionDiagnostic(pars))
 m.add_diagnostic(MiddleAtmosphericTemperatureAnomalyDiagnostic(pars))

@@ -20,6 +20,10 @@ from qgs_tpu.ops.contraction import make_tendency_fns
 from qgs_tpu.ops.twofloat import make_df_rk4_step, df_from_f64, df_to_f64
 from qgs_tpu.integrators.rk import make_rk_step, rk4_tableau
 
+# TPU v5e has no native float64 (XLA emulates it ~60x slower) and its
+# default f32 matmul precision is one bf16 pass (~2e-3 relative!).  This
+# example measures the three tiers qgs-tpu offers on the MAOOAM model and
+# their error against the f64 oracle after 200 steps.
 pars = QgParams()
 pars.set_atmospheric_channel_fourier_modes(2, 2)
 pars.set_oceanic_basin_fourier_modes(2, 4)
@@ -50,7 +54,11 @@ t0 = time.perf_counter(); y32 = run32(jnp.asarray(x, jnp.float32)); y32.block_un
 err32 = np.abs(np.asarray(y32, np.float64) - np.asarray(y64)).max()
 results['float32'] = (N * B / (time.perf_counter() - t0), err32)
 
-# double-float
+# Double-float ("twofloat"): each value is an (hi, lo) pair of float32
+# whose sum represents a ~48-bit-mantissa number; sums/products use
+# error-free transformations (Knuth two-sum, Dekker product).  On TPU this
+# recovers f64-quality trajectories at a ~3x cost over float32 instead of
+# the ~60x of emulated f64.
 stepdf = make_df_rk4_step(tensor.tensor, 0.1)
 rundf = jax.jit(lambda y: jax.lax.fori_loop(0, N, lambda i, y: stepdf(y), y))
 ydf = rundf(df_from_f64(jnp.asarray(x))); ydf[0].block_until_ready()

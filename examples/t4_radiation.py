@@ -15,6 +15,11 @@ from qgs_tpu.params.params import QgParams
 from qgs_tpu.models.tendencies import create_tendencies
 from qgs_tpu.integrators.rk import integrate_runge_kutta
 
+# T4=True activates the full quartic Stefan-Boltzmann T^4 law without
+# linearization (implies dynamic 0-th order temperatures).  The quartic
+# coefficient families are computed once on the sorted-index simplex and
+# scattered to all index permutations; on device the rank-5 tensor stays
+# in COO form (a dense (ndim+1)^5 array would not fit at scale).
 pars = QgParams({'rr': 287.e0, 'sb': 5.6e-8}, T4=True)
 pars.set_params({'kd': 0.04, 'kdp': 0.04, 'n': 1.5})
 pars.set_atmospheric_channel_fourier_modes(2, 2, mode='symbolic')

@@ -99,6 +99,11 @@ def cells_from_script(path):
     body = re.sub(r"\A#!.*\n", "", body)
     body = re.sub(r'\A"""' + r"[\s\S]*?" + r'"""\n', "", body)
     body = SHIM.sub("", body)
+    # notebooks display figures inline: drop the headless-Agg switch and
+    # turn file-writing savefig calls into inline shows
+    body = re.sub(r"import matplotlib\n\nmatplotlib\.use\(\"Agg\"\)\n", "", body)
+    body = re.sub(r"plt\.savefig\([^)]*\)", "plt.show()", body)
+    body = re.sub(r'print\("wrote [^"]*"\)\n?', "", body)
     body = body.strip("\n")
     # split into cells on >=2 consecutive blank lines or at top-level
     # comment headers preceded by a blank line, but only where the next
@@ -133,8 +138,11 @@ def notebook(doc, intro, blocks):
             n_c += 1
         if n_c:
             text = " ".join(ln.lstrip("# ").rstrip() for ln in lines[:n_c])
+            text = text[0].upper() + text[1:]
+            # short labels render bold; real narration as a paragraph
+            md = f"**{text}**" if len(text) < 60 else text
             cells.append({"cell_type": "markdown", "metadata": {},
-                          "source": [f"**{text[0].upper() + text[1:]}**"]})
+                          "source": [md]})
             lines = lines[n_c:]
             while lines and not lines[0].strip():
                 lines = lines[1:]
