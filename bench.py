@@ -154,6 +154,32 @@ def measure_device(tensor, ndim, tier):
     ens, steps = _tier_sizes(tier)
     y0_np = np.random.default_rng(0).random((ens, ndim)) * 0.01
 
+    if tier in ("pallas_f32", "pallas_df"):
+        # opt-in fused-kernel tiers (QGS_BENCH_DTYPE=pallas_*): measured
+        # SLOWER than the XLA-composed paths at MAOOAM scale (see CLAUDE.md
+        # "Pallas status") — kept benchmarkable for larger mode counts.
+        from qgs_tpu.ops.pallas_kernels import (make_pallas_df_rk4,
+                                                make_pallas_rk4_f32)
+        from qgs_tpu.ops.twofloat import df_from_f64
+
+        if tier == "pallas_f32":
+            run = make_pallas_rk4_f32(tensor.tensor, 0.1, steps,
+                                      batch_block=512)
+            y0 = jnp.asarray(y0_np, jnp.float32)
+        else:
+            runner = make_pallas_df_rk4(tensor.tensor, 0.1, steps,
+                                        batch_block=256)
+            run = lambda y: runner(*y)
+            y0 = df_from_f64(jnp.asarray(y0_np))
+        log(f"compiling {tier} kernel ...")
+        y = run(y0)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        y = run(y0)
+        jax.block_until_ready(y)
+        t1 = time.perf_counter()
+        return steps * ens / (t1 - t0), ens, steps
+
     if tier == "twofloat":
         # double-float (2x f32) tier: ~48-bit mantissa at near-f32 speed —
         # the fidelity + throughput middle point (see qgs_tpu/ops/twofloat.py)
