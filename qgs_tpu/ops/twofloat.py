@@ -306,6 +306,60 @@ def _split_grouped_layout(tensor: COO):
     return lin, bil
 
 
+def _bucketed_layout(rows, data, idx_cols, n1):
+    """Compact a group's entries into count-buckets.
+
+    The flat (n1, R_max) layout wastes ~45% of its slots on zero padding
+    for the MAOOAM tensor (per-row counts are skewed), and the padding
+    slots cost full double-float arithmetic.  Instead, rows are bucketed
+    by entry count (one bucket per distinct count — fully dense), and each
+    bucket gets its own (n_rows_g, R_g) layout over *only its own
+    rows*; empty rows occupy nothing.  Results are re-assembled into the
+    (B, n1) output with a static column permutation (each row lives in
+    exactly one bucket, so assembly is exact placement, no accumulation).
+
+    Returns ``(buckets, perm)`` where each bucket is
+    ``(row_ids, vals (N_g, R_g), [idx arrays (N_g, R_g)...])`` and
+    ``perm`` maps output column i to its position in the concatenated
+    bucket results (with one trailing zero column for empty rows).
+    """
+    counts = np.bincount(rows, minlength=n1)
+    buckets = []
+    if rows.size:
+        # one bucket per DISTINCT count: zero padding anywhere (measured
+        # faster than halving thresholds, 13.7M vs 13.0M traj-steps/s on
+        # the MAOOAM kernel; per-bucket overhead is negligible at these
+        # mode counts)
+        thresholds = sorted(set(int(c) for c in counts if c > 0))
+        by_thr = {}
+        for i in np.nonzero(counts)[0]:
+            tg = next(t for t in thresholds if t >= counts[i])
+            by_thr.setdefault(tg, []).append(int(i))
+        for R_g in sorted(by_thr):
+            row_ids = np.asarray(by_thr[R_g])
+            pos = {r: p for p, r in enumerate(row_ids)}
+            vals = np.zeros((row_ids.size, R_g))
+            idxs = [np.zeros((row_ids.size, R_g), np.int64)
+                    for _ in idx_cols]
+            ptr = np.zeros(row_ids.size, np.int64)
+            for e in range(rows.size):
+                p = pos.get(int(rows[e]))
+                if p is None:
+                    continue
+                vals[p, ptr[p]] = data[e]
+                for out, col in zip(idxs, idx_cols):
+                    out[p, ptr[p]] = col[e]
+                ptr[p] += 1
+            buckets.append((row_ids, vals, idxs, R_g))
+    n_cols = sum(b[0].size for b in buckets)
+    perm = np.full(n1, n_cols, np.int64)          # default: the zero column
+    off = 0
+    for row_ids, *_ in buckets:
+        perm[row_ids] = off + np.arange(row_ids.size)
+        off += row_ids.size
+    return buckets, perm
+
+
 def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
     """Double-float tendency contraction
     ``f(xx_hi, xx_lo) -> (out_hi, out_lo)`` over the full (dummy-padded)
@@ -313,7 +367,10 @@ def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
 
     Entries are split into linear (one gather + one product — the partner
     index is the dummy-1 variable) and bilinear (two gathers + two
-    products) groups, each reduced per-row with a pairwise tree.
+    products) groups; each group's rows are compacted into count-buckets
+    (see :func:`_bucketed_layout`) and reduced per-row with a pairwise
+    tree.  The hi and lo components are gathered with ONE take per index
+    set from the concatenated (B, 2*n1) state (fewer gather kernels).
 
     ``gather``: 'take' uses real gather ops (exact by definition);
     'matmul' uses one-hot matmuls at HIGHEST precision (the default TPU
@@ -331,46 +388,86 @@ def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
     n1 = tensor.shape[0]
     if accumulate == "auto":
         accumulate = "fast" if jax.default_backend() not in ("cpu",) else "strict"
-    (lvals, lidx, Rl), (bvals, bj, bk, Rb) = _split_grouped_layout(tensor)
     mul = _sloppy_mul if accumulate == "fast" else df_mul
     reduce_last = _sloppy_reduce_last if accumulate == "fast" else df_reduce_last
 
-    lf = jnp.asarray(lidx.reshape(-1))
-    jf = jnp.asarray(bj.reshape(-1))
-    kf = jnp.asarray(bk.reshape(-1))
-    Gl = jnp.asarray(_one_hot_gather_matrix(lidx, n1)) if Rl else None
-    Gj = jnp.asarray(_one_hot_gather_matrix(bj, n1)) if Rb else None
-    Gk = jnp.asarray(_one_hot_gather_matrix(bk, n1)) if Rb else None
-    LVhi, LVlo = df_from_f64(lvals.reshape(-1))
-    BVhi, BVlo = df_from_f64(bvals.reshape(-1))
+    rows, j, k = (np.asarray(c) for c in tensor.coords)
+    lin_mask = (j == 0) | (k == 0)
+    data = np.asarray(tensor.data)
+    # linear: the active index is whichever of (j, k) is nonzero (j + k,
+    # since the other is 0; constants gather index 0 -> x[0] == 1, exact)
+    lin_buckets, lin_perm = _bucketed_layout(
+        rows[lin_mask], data[lin_mask], [(j + k)[lin_mask]], n1)
+    bil_buckets, bil_perm = _bucketed_layout(
+        rows[~lin_mask], data[~lin_mask],
+        [j[~lin_mask], k[~lin_mask]], n1)
+
+    def _prep(buckets):
+        """Device constants per bucket: packed take indices (hi block then
+        lo block), one-hot matrices, double-float value pairs."""
+        prepped = []
+        for row_ids, vals, idxs, R_g in buckets:
+            flat = [a.reshape(-1) for a in idxs]
+            packed = [jnp.asarray(np.concatenate([a, a + n1])) for a in flat]
+            onehot = ([jnp.asarray(_one_hot_gather_matrix(a, n1))
+                       for a in idxs] if gather == "matmul" else None)
+            vhi, vlo = df_from_f64(vals.reshape(-1))
+            prepped.append((row_ids.size, R_g, packed, onehot,
+                            (vhi[None, :], vlo[None, :])))
+        return prepped
+
+    lin_prep = _prep(lin_buckets)
+    bil_prep = _prep(bil_buckets)
+    lin_perm_d = jnp.asarray(lin_perm)
+    bil_perm_d = jnp.asarray(bil_perm)
 
     def quad(xx):
         """xx: (hi, lo) of shape (B, n1) -> (hi, lo) of shape (B, n1)."""
         B = xx[0].shape[0]
+        cat = jnp.concatenate([xx[0], xx[1]], axis=1)       # (B, 2*n1)
 
-        def gath(flat_idx, G):
+        def gath(packed_idx, G):
             if gather == "take":
-                return (jnp.take(xx[0], flat_idx, axis=1),
-                        jnp.take(xx[1], flat_idx, axis=1))
+                g = jnp.take(cat, packed_idx, axis=1)
+                half = packed_idx.shape[0] // 2
+                return g[:, :half], g[:, half:]
             mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
             return mm(xx[0], G), mm(xx[1], G)
 
-        parts = []
-        if Rl:
-            XL = gath(lf, Gl)                                   # (B, n1*Rl)
-            t = mul((LVhi[None, :], LVlo[None, :]), XL)
-            parts.append(reduce_last((t[0].reshape(B, n1, Rl),
-                                      t[1].reshape(B, n1, Rl))))
-        if Rb:
-            XJ = gath(jf, Gj)                                   # (B, n1*Rb)
-            XK = gath(kf, Gk)
-            t = mul(mul((BVhi[None, :], BVlo[None, :]), XJ), XK)
-            parts.append(reduce_last((t[0].reshape(B, n1, Rb),
-                                      t[1].reshape(B, n1, Rb))))
-        if not parts:
+        def assemble(prepped, perm_d, n_bilinear_idx):
+            """Run every bucket, concatenate, permute into (B, n1)."""
+            if not prepped:
+                return None
+            parts_hi, parts_lo = [], []
+            for N_g, R_g, packed, onehot, V in prepped:
+                if n_bilinear_idx == 1:
+                    X = gath(packed[0], onehot and onehot[0])
+                    t = mul(V, X)
+                else:
+                    XJ = gath(packed[0], onehot and onehot[0])
+                    XK = gath(packed[1], onehot and onehot[1])
+                    t = mul(mul(V, XJ), XK)
+                s = reduce_last((t[0].reshape(B, N_g, R_g),
+                                 t[1].reshape(B, N_g, R_g)))
+                parts_hi.append(s[0])
+                parts_lo.append(s[1])
+            z = jnp.zeros((B, 1), jnp.float32)
+            hi = jnp.concatenate(parts_hi + [z], axis=1)
+            lo = jnp.concatenate(parts_lo + [z], axis=1)
+            # exact placement: each output row lives in exactly one bucket
+            return (jnp.take(hi, perm_d, axis=1),
+                    jnp.take(lo, perm_d, axis=1))
+
+        out_l = assemble(lin_prep, lin_perm_d, 1)
+        out_b = assemble(bil_prep, bil_perm_d, 2)
+        if out_l is None and out_b is None:
             z = jnp.zeros((B, n1), jnp.float32)
             return z, z
-        return parts[0] if len(parts) == 1 else df_add(*parts)
+        if out_l is None:
+            return out_b
+        if out_b is None:
+            return out_l
+        return df_add(out_l, out_b)
 
     return quad
 
