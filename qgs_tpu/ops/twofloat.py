@@ -231,6 +231,29 @@ def _sloppy_mul(x, y):
     return p, e + (x[0] * y[1] + x[1] * y[0])
 
 
+def _presplit(hi_np):
+    """Host-side bitmask split of constant float32 values (see
+    :func:`split` — identical arithmetic, done once at build time)."""
+    hi_np = np.asarray(hi_np, np.float32)
+    s_hi = (hi_np.view(np.uint32) & np.uint32(0xFFFFF000)).view(np.float32)
+    return s_hi, hi_np - s_hi
+
+
+def _mul_const(vc, y, sloppy):
+    """Double-float product of precomputed constants with y.
+
+    ``vc = (vhi, vlo, vhi_split_hi, vhi_split_lo)`` — the constants'
+    Veltkamp split is done on host at build time, saving one split per
+    slot per evaluation (the values are the tendency-tensor entries, fixed
+    for the model's lifetime)."""
+    vhi, vlo, shi, slo = vc
+    p = vhi * y[0]
+    bhi, blo = split(y[0])
+    err = ((shi * bhi - p) + shi * blo + slo * bhi) + slo * blo
+    e = err + (vhi * y[1] + vlo * y[0])
+    return (p, e) if sloppy else quick_two_sum(p, e)
+
+
 # ---------------------------------------------------------------------------
 # contraction layout
 # ---------------------------------------------------------------------------
@@ -411,9 +434,13 @@ def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
             packed = [jnp.asarray(np.concatenate([a, a + n1])) for a in flat]
             onehot = ([jnp.asarray(_one_hot_gather_matrix(a, n1))
                        for a in idxs] if gather == "matmul" else None)
-            vhi, vlo = df_from_f64(vals.reshape(-1))
-            prepped.append((row_ids.size, R_g, packed, onehot,
-                            (vhi[None, :], vlo[None, :])))
+            flat_vals = vals.reshape(-1)
+            vhi_np = np.asarray(flat_vals, np.float32)
+            shi_np, slo_np = _presplit(vhi_np)
+            vc = tuple(jnp.asarray(a, jnp.float32)[None, :] for a in
+                       (vhi_np, flat_vals - vhi_np.astype(np.float64),
+                        shi_np, slo_np))
+            prepped.append((row_ids.size, R_g, packed, onehot, vc))
         return prepped
 
     lin_prep = _prep(lin_buckets)
@@ -440,13 +467,14 @@ def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
                 return None
             parts_hi, parts_lo = [], []
             for N_g, R_g, packed, onehot, V in prepped:
+                sloppy = accumulate == "fast"
                 if n_bilinear_idx == 1:
                     X = gath(packed[0], onehot and onehot[0])
-                    t = mul(V, X)
+                    t = _mul_const(V, X, sloppy)
                 else:
                     XJ = gath(packed[0], onehot and onehot[0])
                     XK = gath(packed[1], onehot and onehot[1])
-                    t = mul(mul(V, XJ), XK)
+                    t = mul(_mul_const(V, XJ, sloppy), XK)
                 s = reduce_last((t[0].reshape(B, N_g, R_g),
                                  t[1].reshape(B, N_g, R_g)))
                 parts_hi.append(s[0])
