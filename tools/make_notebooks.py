@@ -10,6 +10,10 @@ package at the repo root), and top-level blocks separated by blank lines
 become code cells.
 
 Usage:  python tools/make_notebooks.py        (writes notebooks/*.ipynb)
+
+NOTE: regeneration rewrites the notebooks WITHOUT outputs — re-execute
+with ``tools/run_notebooks.py`` (or ``git checkout`` the untouched ones)
+so the committed notebooks keep their rendered results.
 """
 
 import ast
@@ -77,6 +81,14 @@ CATALOG = {
         "The three device precision tiers (float32, double-float 2xf32, "
         "emulated float64) and their accuracy/throughput trade-offs — "
         "TPU-specific; no reference counterpart."),
+    "distributed_ensembles.py": (
+        "distributed_ensembles.ipynb",
+        "The multi-host (DCN x ICI) distributed layer: the "
+        "('ensemble', 'model') device mesh, mode-sharded tendencies with "
+        "psum on the model axis, and a genuine 2-process "
+        "`jax.distributed` run — the pod-scale replacement of the "
+        "reference's single-node process pools (TPU-native; no reference "
+        "counterpart)."),
     "external_solvers.py": (
         "external_solvers.ipynb",
         "Feeding the `f(t, x)` tendency contract to external ODE suites "
