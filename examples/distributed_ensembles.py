@@ -22,6 +22,10 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# the env var above is ineffective when jax was already imported at
+# interpreter start (the axon sitecustomize path) — set x64 through the
+# config API too, mirroring the platform handling
+jax.config.update("jax_enable_x64", True)
 print(f"{jax.process_count()} process(es), {jax.device_count()} devices")
 
 
@@ -99,11 +103,12 @@ print(f"mode-sharded RK4 step vs replicated: max |diff| = {err:.2e}")
 # Finally, the real thing: spawn TWO OS processes, each a separate JAX
 # process with its own virtual devices, wired through
 # `jax.distributed.initialize` + Gloo collectives — exactly the program
-# shape of a 2-host pod job (ensemble axis across processes).  Each worker
-# integrates the distributed ensemble and checks it against a
-# single-device oracle.
+# shape of a 2-host pod job.  With model_axis_size=2 each process's two
+# devices form a model group (the mode-space psum stays intra-process,
+# i.e. intra-host on a pod) while the ensemble axis spans the processes —
+# the full 2-D production mesh layout, now exercised cross-process too.
 from qgs_tpu.parallel.distributed import run_multiprocess_selftest
 
 for line in run_multiprocess_selftest(num_processes=2, local_devices=2,
-                                      model_axis_size=1):
+                                      model_axis_size=2):
     print(line)

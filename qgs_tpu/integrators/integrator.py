@@ -19,7 +19,7 @@ import numpy as np
 
 from qgs_tpu.integrators.rk import (
     integrate_runge_kutta, integrate_runge_kutta_df, integrate_runge_kutta_tgls,
-    rk4_tableau,
+    merge_tableau, rk4_tableau,
 )
 from qgs_tpu.parallel.mesh import ensemble_mesh, ensemble_size, shard_ensemble
 from qgs_tpu.parallel.distributed import gather_to_host
@@ -57,9 +57,8 @@ class RungeKuttaIntegrator:
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
                  number_of_dimensions=None, mesh=None, precision="float64"):
-        if a is None and b is None and c is None:
-            a, b, c = rk4_tableau()
-        self.a, self.b, self.c = a, b, c
+        tab = merge_tableau(a, b, c)
+        self.a, self.b, self.c = tab if tab is not None else rk4_tableau()
         self.func = None
         self.n_dim = number_of_dimensions
         self.ic = None
@@ -86,13 +85,10 @@ class RungeKuttaIntegrator:
             self.ic = None
 
     def set_bca(self, b=None, c=None, a=None, ic_init=True):
-        """Change the Butcher tableau."""
-        if a is not None:
-            self.a = a
-        if b is not None:
-            self.b = b
-        if c is not None:
-            self.c = c
+        """Change the Butcher tableau (partial updates keep the other
+        coefficients, ref ``qgs/integrators/integrator.py:167-196``)."""
+        self.a, self.b, self.c = merge_tableau(
+            a, b, c, current=(self.a, self.b, self.c))
         if ic_init:
             self.ic = None
 

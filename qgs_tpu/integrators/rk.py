@@ -50,6 +50,23 @@ def rk2_tableau(dtype=jnp.float64):
     return a, b, c
 
 
+def merge_tableau(a=None, b=None, c=None, current=None):
+    """Merge partially-specified Butcher coefficients into a full
+    ``(a, b, c)`` tableau: unspecified coefficients fall back to ``current``
+    (a previously-configured tableau) and then to the RK4 defaults — the
+    reference treats each coefficient independently in its ``set_bca``
+    methods (ref ``qgs/toolbox/lyapunov.py:178-205``), so passing only
+    ``b``/``c`` must not silently discard them.  Returns ``None`` when
+    nothing is specified and there is no current tableau (callers then use
+    their own default)."""
+    if a is None and b is None and c is None and current is None:
+        return None
+    base = current if current is not None else rk4_tableau()
+    return (np.asarray(a) if a is not None else np.asarray(base[0]),
+            np.asarray(b) if b is not None else np.asarray(base[1]),
+            np.asarray(c) if c is not None else np.asarray(base[2]))
+
+
 def time_grid(t0, t, dt):
     """Reference-compatible integration time grid (host side)."""
     return np.concatenate((np.arange(t0, t, dt), np.full((1,), t)))

@@ -32,7 +32,8 @@ import numpy as np
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from qgs_tpu.integrators.rk import make_rk_step, make_tgls_step, rk4_tableau
+from qgs_tpu.integrators.rk import (make_rk_step, make_tgls_step,
+                                    merge_tableau, rk4_tableau)
 
 
 def _shard_ic(mesh, ic):
@@ -400,16 +401,33 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
     fvec_ = jnp.asarray(fvec).reshape(B, n, n, -1)
     n_rec = bvec_.shape[-1]
 
-    # subspace intersection per mode index j
-    clvs = []
-    for j in range(n):
-        Bj = jnp.moveaxis(bvec_[:, :, :j + 1, :], -1, 1)      # (B, T, n, j+1)
-        Fj = jnp.moveaxis(fvec_[:, :, :n - j, :], -1, 1)      # (B, T, n, n-j)
-        M = jnp.einsum('btnv,btnw->btvw', Bj, Fj)
-        u, _, _ = jnp.linalg.svd(M, full_matrices=False)
-        clv = jnp.einsum('btnv,btv->btn', Bj, u[..., 0])
-        clvs.append(clv)
-    clvs = jnp.stack(clvs, axis=-1)                           # (B, T, n, n_vec)
+    # Subspace intersection, batched over the mode index j: CLV_j is the
+    # leading left singular vector of M_j = BLV_{1..j+1}^T FLV_{1..n-j}.
+    # Instead of tracing one SVD program per j (O(n) programs — minutes of
+    # compile time at ndim 150+), the n overlap matrices are embedded in
+    # zero-padded (n, n) matrices (zero rows/columns only add zero singular
+    # values, leaving the leading singular vector — padded with zeros —
+    # unchanged) and one vmapped batched SVD handles all j at once.
+    Bfull = jnp.moveaxis(bvec_, -1, 1)                        # (B, T, n, n)
+    Ffull = jnp.moveaxis(fvec_, -1, 1)                        # (B, T, n, n)
+
+    @jax.jit
+    def intersect(Bfull, Ffull):
+        G = jnp.einsum('btnv,btnw->btvw', Bfull, Ffull)       # (B, T, n, n)
+        rows = jnp.arange(n)
+
+        def leading_u(j):
+            mask = (rows[:, None] <= j) & (rows[None, :] < n - j)
+            u, _, _ = jnp.linalg.svd(jnp.where(mask, G, 0.0),
+                                     full_matrices=False)
+            return u[..., 0]                                  # (B, T, n)
+
+        us = jax.vmap(leading_u)(rows)                        # (n, B, T, n)
+        # u_j is zero beyond index j, so contracting the FULL BLV basis
+        # reproduces the per-j truncated contraction exactly
+        return jnp.einsum('btnv,jbtv->btnj', Bfull, us)
+
+    clvs = intersect(Bfull, Ffull)                            # (B, T, n, n_vec)
     clvs = jnp.moveaxis(clvs, 1, -1)                          # (B, n, n_vec, T)
 
     # local exponents: one tangent mdt-step on the CLV matrix
@@ -453,7 +471,9 @@ class LyapunovsEstimator:
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
                  number_of_dimensions=None, mesh=None):
-        self.tableau = (a, b, c) if a is not None else None
+        # partial tableaux are honored: missing coefficients fall back to
+        # RK4, mirroring set_bca (ref ``qgs/toolbox/lyapunov.py:41-100``)
+        self.tableau = merge_tableau(a, b, c)
         self.func = None
         self.func_jac = None
         self.n_dim = number_of_dimensions
@@ -474,14 +494,7 @@ class LyapunovsEstimator:
     def set_bca(self, b=None, c=None, a=None, ic_init=True):
         """Swap the Butcher tableau of the internal integrators
         (ref ``lyapunov.py:178,786``)."""
-        ta = list(self.tableau) if self.tableau is not None else [None, None, None]
-        if a is not None:
-            ta[0] = np.asarray(a)
-        if b is not None:
-            ta[1] = np.asarray(b)
-        if c is not None:
-            ta[2] = np.asarray(c)
-        self.tableau = None if all(x is None for x in ta) else tuple(ta)
+        self.tableau = merge_tableau(a, b, c, current=self.tableau)
         if ic_init:
             self.ic = None
 
@@ -514,7 +527,8 @@ class CovariantLyapunovsEstimator:
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
                  number_of_dimensions=None, noise_pert=0.0, mesh=None):
-        self.tableau = (a, b, c) if a is not None else None
+        # see LyapunovsEstimator: partial tableaux merge with RK4 defaults
+        self.tableau = merge_tableau(a, b, c)
         self.func = None
         self.func_jac = None
         self.n_dim = number_of_dimensions
@@ -539,14 +553,7 @@ class CovariantLyapunovsEstimator:
     def set_bca(self, b=None, c=None, a=None, ic_init=True):
         """Swap the Butcher tableau of the internal integrators
         (ref ``lyapunov.py:178,786``)."""
-        ta = list(self.tableau) if self.tableau is not None else [None, None, None]
-        if a is not None:
-            ta[0] = np.asarray(a)
-        if b is not None:
-            ta[1] = np.asarray(b)
-        if c is not None:
-            ta[2] = np.asarray(c)
-        self.tableau = None if all(x is None for x in ta) else tuple(ta)
+        self.tableau = merge_tableau(a, b, c, current=self.tableau)
         if ic_init:
             self.ic = None
 

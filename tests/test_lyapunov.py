@@ -122,6 +122,58 @@ def test_estimator_classes(attractor_ic):
     assert np.isfinite(exps).all()
 
 
+def test_estimator_partial_tableau(attractor_ic):
+    """Constructors must honor b/c without a (round-2 review: `(a, b, c) if
+    a is not None else None` silently dropped partial tableaux; the
+    reference accepts each coefficient independently, ref
+    ``qgs/toolbox/lyapunov.py:41-100,178-205``)."""
+    a4, b4, c4 = np.zeros((4, 4)), np.array([1/6, 1/3, 1/3, 1/6]), \
+        np.array([0., 0.5, 0.5, 1.])
+    a4[1, 0] = a4[2, 1] = 0.5
+    a4[3, 2] = 1.
+
+    # a first-order method sharing RK4's a and c: only b differs
+    b_euler = np.array([1., 0., 0., 0.])
+
+    for cls in (LyapunovsEstimator, CovariantLyapunovsEstimator):
+        est = cls(b=b_euler)
+        assert est.tableau is not None, cls.__name__
+        ta, tb, tc = est.tableau
+        assert np.array_equal(tb, b_euler)
+        assert np.array_equal(ta, a4) and np.array_equal(tc, c4)
+        # partial set_bca keeps the other coefficients
+        est.set_bca(c=c4)
+        assert np.array_equal(est.tableau[1], b_euler)
+        # set_bca on a default-constructed estimator must also work
+        est2 = cls()
+        est2.set_bca(b=b_euler)
+        assert np.array_equal(est2.tableau[1], b_euler)
+
+    # the custom b must actually be applied: first-order weights give a
+    # different trajectory/exponent stream than RK4
+    est_rk4 = LyapunovsEstimator()
+    est_rk4.set_func(f63, Df63)
+    est_rk4.compute_lyapunovs(0., 5., 15., 0.01, 0.01, attractor_ic[0],
+                              write_steps=1)
+    est_e = LyapunovsEstimator(b=b_euler)
+    est_e.set_func(f63, Df63)
+    est_e.compute_lyapunovs(0., 5., 15., 0.01, 0.01, attractor_ic[0],
+                            write_steps=1)
+    assert not np.allclose(est_rk4.get_lyapunovs()[1],
+                           est_e.get_lyapunovs()[1]), \
+        "partial-tableau b was not applied"
+
+    # ensemble integrators share the same merge semantics
+    from qgs_tpu.integrators.integrator import (RungeKuttaIntegrator,
+                                                RungeKuttaTglsIntegrator)
+    for icls in (RungeKuttaIntegrator, RungeKuttaTglsIntegrator):
+        integ = icls(b=b_euler)
+        assert np.array_equal(integ.b, b_euler)
+        assert np.array_equal(integ.a, a4) and np.array_equal(integ.c, c4)
+        integ.set_bca(c=c4)
+        assert np.array_equal(integ.b, b_euler)
+
+
 def test_qg_model_lyapunov_spectrum():
     """Lyapunov toolbox driven by the actual QG model (RP atmosphere,
     20-dim): the spectrum must show (a) a positive leading exponent (the
