@@ -57,8 +57,24 @@ ENSEMBLE = int(os.environ.get("QGS_BENCH_ENSEMBLE", 4096))
 # through the axon tunnel) distorts shorter runs; production integrations
 # are millions of steps, so steady-state throughput is the honest metric
 STEPS = int(os.environ.get("QGS_BENCH_STEPS", 1000))
+# best-of-N timed device runs per tier: the axon tunnel/shared worker adds
+# occasional multi-x slowdowns to individual runs (observed 14.6M vs 27.0M
+# same-day on identical code), so a single sample is not a measurement;
+# min/median over N runs are both reported
+REPEATS = int(os.environ.get("QGS_BENCH_REPEATS", 3))
 DTYPE = os.environ.get("QGS_BENCH_DTYPE")          # None = all tiers
 HEADLINE = DTYPE or "twofloat"
+
+# Frozen baseline protocol: ``vs_baseline`` divides by this FIXED figure so
+# the ratio is comparable across rounds.  Provenance: best observed
+# native-C++ single-core rate on this host (504k reference-semantics RK4
+# steps/s/core, round-1 capture; round-2's shared-host capture measured
+# 316k/core — contention only ever slows the baseline down, so the best
+# observation is the honest per-core speed) x 2 cores = the reference
+# design's full-host ensemble throughput (one Numba-equivalent process per
+# core, ref ``qgs/integrators/integrator.py:77-82``).  The per-round
+# re-measured figure is reported alongside as ``baseline_measured``.
+BASELINE_FROZEN = 1.008e6
 
 V5E_PEAK_BF16_TFLOPS = 197.0
 EXACT_F32_PASSES = 6           # bf16 MXU passes per HIGHEST-precision f32 matmul
@@ -144,14 +160,13 @@ def measure_baseline(tensor, ndim, n_steps=1500):
     return best, NUMBA_ADVANTAGE
 
 
-def measure_device(tensor, ndim, tier):
-    """One tier's steady-state ensemble throughput (traj-steps/s)."""
+def _build_tier(tensor, ndim, tier, ens, steps):
+    """Build one tier's compiled runner; returns ``(run, y0, check)``."""
     import jax
     import jax.numpy as jnp
     from qgs_tpu.integrators.rk import make_rk_step, rk4_tableau
     from qgs_tpu.parallel.mesh import ensemble_mesh, shard_ensemble
 
-    ens, steps = _tier_sizes(tier)
     y0_np = np.random.default_rng(0).random((ens, ndim)) * 0.01
 
     if tier in ("pallas_f32", "pallas_df"):
@@ -171,14 +186,7 @@ def measure_device(tensor, ndim, tier):
                                         batch_block=256)
             run = lambda y: runner(*y)
             y0 = df_from_f64(jnp.asarray(y0_np))
-        log(f"compiling {tier} kernel ...")
-        y = run(y0)
-        jax.block_until_ready(y)
-        t0 = time.perf_counter()
-        y = run(y0)
-        jax.block_until_ready(y)
-        t1 = time.perf_counter()
-        return steps * ens / (t1 - t0), ens, steps
+        return run, y0, lambda y: True
 
     if tier == "twofloat":
         # double-float (2x f32) tier: ~48-bit mantissa at near-f32 speed —
@@ -192,16 +200,7 @@ def measure_device(tensor, ndim, tier):
             return jax.lax.fori_loop(0, steps, lambda i, y: step(y), y)
 
         y0 = df_from_f64(jnp.asarray(y0_np))
-        log(f"compiling {tier} scan ...")
-        y = run(y0)
-        y[0].block_until_ready()
-        t0 = time.perf_counter()
-        y = run(y)
-        y[0].block_until_ready()
-        t1 = time.perf_counter()
-        if not bool(np.isfinite(np.asarray(y[0][:1])).all()):
-            raise RuntimeError("non-finite state after benchmark run")
-        return steps * ens / (t1 - t0), ens, steps
+        return run, y0, lambda y: bool(np.isfinite(np.asarray(y[0][:1])).all())
 
     from qgs_tpu.ops.contraction import make_tendency_fns
 
@@ -222,17 +221,30 @@ def measure_device(tensor, ndim, tier):
     mesh = ensemble_mesh()
     if mesh.devices.size > 1:
         y0, _ = shard_ensemble(y0, mesh)
+    return run, y0, lambda y: bool(np.isfinite(np.asarray(y[:1])).all())
 
-    log(f"compiling {tier} scan ...")
+
+def measure_device(tensor, ndim, tier):
+    """One tier's steady-state ensemble throughput: best-of-N timed runs
+    (chained — the state stays on the model's neighborhood) after a
+    compile+warmup call.  Returns ``(times, ens, steps)``."""
+    import jax
+
+    ens, steps = _tier_sizes(tier)
+    run, y0, check = _build_tier(tensor, ndim, tier, ens, steps)
+
+    log(f"compiling {tier} ...")
     y = run(y0)
-    y.block_until_ready()
-    t0 = time.perf_counter()
-    y = run(y)
-    y.block_until_ready()
-    t1 = time.perf_counter()
-    if not bool(np.isfinite(np.asarray(y[:1])).all()):
+    jax.block_until_ready(y)
+    times = []
+    for _ in range(max(REPEATS, 1)):
+        t0 = time.perf_counter()
+        y = run(y)
+        jax.block_until_ready(y)
+        times.append(time.perf_counter() - t0)
+    if not check(y):
         raise RuntimeError("non-finite state after benchmark run")
-    return steps * ens / (t1 - t0), ens, steps
+    return times, ens, steps
 
 
 def main():
@@ -257,24 +269,31 @@ def main():
 
     base_core, factor = measure_baseline(tensor, pars.ndim)
     n_cores = os.cpu_count() or 1
-    baseline = base_core * n_cores * factor
+    baseline_measured = base_core * n_cores * factor
+    baseline = BASELINE_FROZEN
     kind = "native-C++" if factor == 1.0 else f"numpy x{factor} numba-est"
-    log(f"baseline ({kind}): {base_core:,.0f} RK4 steps/s/core x {n_cores} "
-        f"cores = {baseline:,.0f} traj-steps/s")
+    log(f"baseline ({kind}): measured {base_core:,.0f} RK4 steps/s/core x "
+        f"{n_cores} cores = {baseline_measured:,.0f} traj-steps/s; "
+        f"frozen denominator = {baseline:,.0f}")
 
     n_chips = jax.device_count()
     tier_results = {}
     for tier in tiers:
-        value, ens, steps = measure_device(tensor, pars.ndim, tier)
+        times, ens, steps = measure_device(tensor, pars.ndim, tier)
+        value = steps * ens / min(times)              # best of N
+        median = steps * ens / float(np.median(times))
         tier_results[tier] = {
             "traj_steps_per_s": value,
+            "traj_steps_per_s_median": median,
+            "run_times_s": [round(t, 4) for t in times],
             "vs_baseline": value / baseline,
             "mode_updates_per_s_per_chip": value * pars.ndim / n_chips,
             "ensemble": ens,
             "steps": steps,
         }
-        log(f"{tier}: {value:,.0f} traj-steps/s "
-            f"({value / baseline:.1f}x baseline, B={ens})")
+        log(f"{tier}: {value:,.0f} traj-steps/s best-of-{len(times)} "
+            f"(median {median:,.0f}; {value / baseline:.1f}x frozen "
+            f"baseline, B={ens})")
 
     headline = tier_results[HEADLINE if HEADLINE in tier_results else tiers[0]]
 
@@ -291,6 +310,9 @@ def main():
         "unit": "traj-steps/s",
         "vs_baseline": headline["vs_baseline"],
         "baseline_traj_steps_per_s": baseline,
+        "baseline_protocol": "frozen (see bench.py BASELINE_FROZEN)",
+        "baseline_measured_traj_steps_per_s": baseline_measured,
+        "bench_repeats": REPEATS,
         "tiers": tier_results,
         "mode_updates_per_s_per_chip": headline["mode_updates_per_s_per_chip"],
         "n_chips": n_chips,

@@ -2,16 +2,29 @@
 """Lyapunov-toolbox throughput: batched Benettin BLV on the MAOOAM model.
 
 The reference computes Lyapunov vectors one trajectory per OS process with
-per-step Python/Numba QR (`ref ``qgs/toolbox/lyapunov.py:396-513```); here
+per-step Python/Numba QR (ref ``qgs/toolbox/lyapunov.py:396-513``); here
 the whole ensemble propagates its fundamental matrices in one batched
 ``lax.scan`` and ``jnp.linalg.qr`` re-orthonormalizes all members at once
 on device.
 
-Reports QR-window throughput (windows/s x ensemble) and tangent-substep
-throughput in f32 (the TPU-native tier; f64 is ~60x slower, emulated).
+Tiers:
 
-Run (TPU): ``timeout 1800 python benchmarks/lyapunov_throughput.py``
-Env knobs: QGS_LYAP_ENSEMBLE (default 256), QGS_LYAP_WINDOWS (default 200).
+* ``f32``      — everything in float32 (the raw-throughput tier; exponents
+                 carry ~1e-7-per-window arithmetic noise).
+* ``twofloat`` — tangent propagation in double-float (2x float32) with
+                 per-window float64 QR: ~f64 exponent accuracy at a
+                 fraction of emulated-f64 cost (the reference's other HOT
+                 path, ref ``qgs/integrators/integrate.py:227-231``).
+* ``float64``  — XLA-emulated f64 oracle (small ensemble).
+
+Also reports the twofloat-vs-f64 exponent agreement on identical ICs over
+a short span (where chaotic divergence between tiers stays bounded) — the
+accuracy claim behind the twofloat tier.
+
+Run (TPU): ``timeout 3600 python benchmarks/lyapunov_throughput.py``
+Env knobs: QGS_LYAP_ENSEMBLE (default 256), QGS_LYAP_WINDOWS (default 200),
+QGS_LYAP_TIERS (comma list, default "f32,twofloat,float64"),
+QGS_LYAP_ACCURACY=0 to skip the accuracy cross-check.
 """
 
 import sys as _sys
@@ -26,18 +39,9 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def build():
     from qgs_tpu.params.params import QgParams
     from qgs_tpu.models.tendencies import create_tendencies
-    from qgs_tpu.integrators.rk import integrate_runge_kutta
-    from qgs_tpu.toolbox.lyapunov import compute_backward_lyapunovs
-
-    B = int(os.environ.get("QGS_LYAP_ENSEMBLE", 256))
-    n_windows = int(os.environ.get("QGS_LYAP_WINDOWS", 200))
-    dt, mdt = 0.1, 0.1
 
     pars = QgParams()
     pars.set_atmospheric_channel_fourier_modes(2, 2)
@@ -49,40 +53,112 @@ def main():
     pars.gotemperature_params.set_params({'gamma': 5.6e8, 'T0': 301.46})
     pars.atemperature_params.set_insolation(103.3333, 0)
     pars.gotemperature_params.set_insolation(310., 0)
-    f, Df = create_tendencies(pars, dtype=jnp.float32)
+    f, Df, tensor = create_tendencies(pars, return_qgtensor=True)
+    return pars, f, Df, tensor
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qgs_tpu.integrators.rk import integrate_runge_kutta
+    from qgs_tpu.ops.contraction import make_tendency_fns
+    from qgs_tpu.toolbox.lyapunov import compute_backward_lyapunovs
+
+    B = int(os.environ.get("QGS_LYAP_ENSEMBLE", 256))
+    n_windows = int(os.environ.get("QGS_LYAP_WINDOWS", 200))
+    tiers = os.environ.get("QGS_LYAP_TIERS", "f32,twofloat,float64").split(",")
+    dt, mdt = 0.1, 0.1
+
+    pars, f, Df, tensor = build()
+    tensors = (tensor.tensor, tensor.jacobian_tensor)
 
     rng = np.random.default_rng(0)
-    ic = (rng.random((B, pars.ndim)) * 0.01).astype(np.float32)
-    _, ic = integrate_runge_kutta(f.batched, 0., 100., dt, ic, write_steps=0)
-    ic = np.asarray(ic, np.float32)
+    ic64 = rng.random((B, pars.ndim)) * 0.01
+    _, ic64 = integrate_runge_kutta(f.batched, 0., 100., dt, ic64,
+                                    write_steps=0)
+    ic64 = np.asarray(ic64)
 
+    f32b, j32b = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
+                                   dtype=jnp.float32)
     t_end = n_windows * dt
 
-    def run():
-        out = compute_backward_lyapunovs(
-            f.batched, Df.batched, 0., dt, dt + t_end, dt, mdt, ic,
-            write_steps=0)
-        jax.block_until_ready(out[1])
-        return out
+    def run_tier(tier, B_t, windows):
+        span = (0., dt, dt + windows * dt, dt, mdt)
+        if tier == "f32":
+            args = dict(f=f32b, fjac=j32b,
+                        ic=np.asarray(ic64[:B_t], np.float32))
+        elif tier == "twofloat":
+            args = dict(f=f.batched, fjac=Df.batched, ic=ic64[:B_t],
+                        precision="twofloat", tensors=tensors)
+        else:
+            args = dict(f=f.batched, fjac=Df.batched, ic=ic64[:B_t])
 
-    run()                                   # compile + warmup
-    t0 = time.perf_counter()
-    t, traj, exps, vecs = run()
-    elapsed = time.perf_counter() - t0
+        def run():
+            out = compute_backward_lyapunovs(
+                args["f"], args["fjac"], *span, args["ic"], write_steps=0,
+                precision=args.get("precision"), tensors=args.get("tensors"))
+            jax.block_until_ready(out[1])
+            return out
 
-    windows_s = n_windows * B / elapsed
-    print(f"ensemble {B} x {pars.ndim}-dim MAOOAM, {n_windows} QR windows "
-          f"(dt={dt}, mdt={mdt}, f32): {elapsed:.2f}s")
+        run()                               # compile + warmup
+        best, out = None, None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return best, out
+
+    results = {}
+    for tier in tiers:
+        B_t = min(B, 16) if tier == "float64" else B
+        windows = min(n_windows, 50) if tier == "float64" else n_windows
+        elapsed, out = run_tier(tier, B_t, windows)
+        windows_s = windows * B_t / elapsed
+        m = np.asarray(out[2], np.float64)
+        lead = m.reshape(B_t, pars.ndim)[:, 0].mean()
+        results[tier] = {
+            "qr_windows_per_s_x_ensemble": windows_s,
+            "tangent_substeps_per_s_x_ensemble": windows_s * round(dt / mdt),
+            "ensemble": B_t, "windows": windows,
+            "elapsed_s_best_of_3": elapsed,
+            "mean_leading_exponent": float(lead),
+        }
+        print(f"{tier:>9}: B={B_t:4d} x {windows} windows: "
+              f"{windows_s:12,.0f} QR-windows/s x ensemble "
+              f"({elapsed:.2f}s)", flush=True)
+
+    accuracy = None
+    if os.environ.get("QGS_LYAP_ACCURACY", "1") != "0":
+        # identical-IC agreement over a short span (chaotic divergence
+        # between tiers stays bounded): df must track f64 far tighter
+        # than f32
+        B_a = min(B, 4)
+        span = (0., 10., 40., dt, mdt)
+        _, _, e64, _ = compute_backward_lyapunovs(
+            f.batched, Df.batched, *span, ic64[:B_a], write_steps=1)
+        _, _, edf, _ = compute_backward_lyapunovs(
+            f.batched, Df.batched, *span, ic64[:B_a], write_steps=1,
+            precision="twofloat", tensors=tensors)
+        _, _, e32, _ = compute_backward_lyapunovs(
+            f32b, j32b, *span, np.asarray(ic64[:B_a], np.float32),
+            write_steps=1)
+        m64 = np.asarray(e64).mean(-1)
+        err_df = float(np.abs(m64 - np.asarray(edf).mean(-1)).max())
+        err_32 = float(np.abs(m64 - np.asarray(e32, np.float64).mean(-1)).max())
+        accuracy = {"span_time_units": 40, "ensemble": B_a,
+                    "max_mean_exp_err_twofloat_vs_f64": err_df,
+                    "max_mean_exp_err_f32_vs_f64": err_32}
+        print(f"accuracy (40 tu, identical ICs): twofloat-f64 {err_df:.2e}, "
+              f"f32-f64 {err_32:.2e}", flush=True)
+
     print(json.dumps({
-        "metric": "maooam_blv_qr_window_throughput_f32",
-        "value": windows_s,
-        "unit": "QR-windows/s x ensemble",
-        "ensemble": B,
-        "ndim": pars.ndim,
+        "metric": "maooam_blv_qr_window_throughput",
+        "ndim": pars.ndim, "dt": dt, "mdt": mdt,
+        "platform": jax.devices()[0].platform,
+        "tiers": results, "accuracy": accuracy,
     }))
-    m = np.asarray(exps, np.float64)
-    lead = m.reshape(B, pars.ndim, -1).mean(axis=-1)[:, 0].mean()
-    print(f"mean leading exponent over the ensemble: {lead:.4f}")
 
 
 if __name__ == "__main__":

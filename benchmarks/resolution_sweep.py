@@ -1,16 +1,37 @@
 #!/usr/bin/env python
-"""Mode-count (resolution) throughput sweep: RK4 ensemble throughput and
-mode-updates/s as the spectral truncation grows.
+"""Mode-count (resolution) throughput + utilization sweep.
 
-The per-step tendency contraction is O(B * nnz) work in COO form and
-O(B * ndim^2) as the dense matricized einsum; this sweep reports both the
-trajectory-step rate and the *mode-updates/s* (steps/s x ensemble x ndim) —
-the north-star per-chip metric from BASELINE.json — across truncations
-from the standard MAOOAM 2,2/2,4 up to 6,6/6,6.
+Measures the RK4 ensemble hot loop across spectral truncations from the
+standard MAOOAM 2,2/2,4 (ndim 36) up to 8,8/8,8 (ndim 400) and an
+atmosphere-only 10,10 (ndim 420), for each device path of the contraction
+kernel (``qgs_tpu/ops/contraction.py``):
 
-Run (TPU): ``timeout 1800 python benchmarks/resolution_sweep.py``
-Env knobs: QGS_RES_ENSEMBLE (default 4096), QGS_RES_STEPS (default 500),
-QGS_RES_DTYPE in {float32, twofloat} (default float32).
+* ``coo``    — the production sparse path (auto mode: row-grouped gather +
+  VPU row-sum).  Work is O(nnz) per state per stage — bandwidth/gather
+  bound, so the honest ceiling is HBM bytes/s, reported as the achieved
+  gather throughput next to the roofline.
+* ``dense``  — the matricized dense einsum ((B, n1^2) x (n1^2, n1) matmul
+  at HIGHEST precision).  Work is O(n1^3) — pure MXU; this is the path
+  whose FLOP utilization *can* approach the machine ceiling, reported as
+  MFU vs both the bf16 peak (197 TFLOP/s on v5e) and the exact-f32 ceiling
+  (197/6: HIGHEST-precision f32 = 6 bf16 MXU passes).
+* ``pallas`` — the fused Pallas RK4 kernel (``ops/pallas_kernels.py``).
+  Its one-hot gather matmuls cost O(n1 * R * N) MACs per state (R = max
+  row nnz, N = lane-padded n1), i.e. a factor ~N more arithmetic than the
+  COO path — measured here at growing ndim to settle the SURVEY §7 step-7
+  north star with data (see CLAUDE.md "Pallas status").
+
+A quartic tier (``t4``) runs the rank-5 T^4 radiation tensor (ndim 38,
+2,2/2,4, symbolic-quadrature IPs) through the same COO machinery — the
+path SURVEY §7 requires to stay sparse/factored.
+
+Writes the results JSON to ``QGS_RES_OUT`` (default: stdout only), appending
+each point as it lands so partial sweeps survive a timeout.
+
+Run (TPU): ``timeout 5400 python benchmarks/resolution_sweep.py``
+Env knobs: QGS_RES_CONFIGS (comma list of config keys), QGS_RES_PATHS
+(comma list in {coo,dense,pallas}), QGS_RES_T4=0 to skip the quartic tier,
+QGS_RES_REPEATS (default 3), QGS_RES_OUT (output JSON path).
 """
 
 import sys as _sys
@@ -24,6 +45,31 @@ import time
 
 import numpy as np
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+EXACT_F32_PASSES = 6
+HBM_GBPS = 819.0                      # v5e HBM bandwidth
+
+REPEATS = int(os.environ.get("QGS_RES_REPEATS", 3))
+
+# (key, atm blocks, ocean blocks) — ndim grows 36 -> 420
+CONFIGS = {
+    "2x2_2x4": ((2, 2), (2, 4)),
+    "4x4_4x4": ((4, 4), (4, 4)),
+    "6x6_6x6": ((6, 6), (6, 6)),
+    "8x8_8x8": ((8, 8), (8, 8)),
+    "atm10x10": ((10, 10), None),
+}
+
+# per-ndim sizing: (B_coo, B_dense, B_pallas, pallas_block, steps_coo,
+# steps_dense) — dense flops/step = 8 B n1^3, so B shrinks with ndim to
+# keep runs O(10 s); every new shape costs a ~3-min remote compile
+def sizing(ndim):
+    if ndim <= 120:
+        return 4096, 2048, 2048, 256, 1000, 500
+    if ndim <= 260:
+        return 4096, 256, 1024, 128, 500, 100
+    return 4096, 128, None, None, 300, 30
+
 
 def build(na, no):
     from qgs_tpu.params.params import QgParams
@@ -31,72 +77,215 @@ def build(na, no):
 
     pars = QgParams()
     pars.set_atmospheric_channel_fourier_modes(*na)
-    pars.set_oceanic_basin_fourier_modes(*no)
-    pars.set_params({'kd': 0.0290, 'kdp': 0.0290, 'n': 1.5, 'r': 1.e-7,
-                     'h': 136.5, 'd': 1.1e-7})
-    pars.atemperature_params.set_params({'eps': 0.7, 'T0': 289.3,
-                                         'hlambda': 15.06})
-    pars.gotemperature_params.set_params({'gamma': 5.6e8, 'T0': 301.46})
-    pars.atemperature_params.set_insolation(103.3333, 0)
-    pars.gotemperature_params.set_insolation(310., 0)
+    if no is not None:
+        pars.set_oceanic_basin_fourier_modes(*no)
+        pars.set_params({'kd': 0.0290, 'kdp': 0.0290, 'n': 1.5, 'r': 1.e-7,
+                         'h': 136.5, 'd': 1.1e-7})
+        pars.atemperature_params.set_params({'eps': 0.7, 'T0': 289.3,
+                                             'hlambda': 15.06})
+        pars.gotemperature_params.set_params({'gamma': 5.6e8, 'T0': 301.46})
+        pars.atemperature_params.set_insolation(103.3333, 0)
+        pars.gotemperature_params.set_insolation(310., 0)
+    else:
+        pars.set_params({'kd': 0.1, 'kdp': 0.01, 'n': 1.5})
+        pars.atemperature_params.set_thetas(0.1, 0)
     f, Df, tensor = create_tendencies(pars, return_qgtensor=True)
     return pars, tensor
+
+
+def build_t4():
+    from qgs_tpu.params.params import QgParams
+    from qgs_tpu.inner_products.symbolic import (
+        AtmosphericSymbolicInnerProducts, OceanicSymbolicInnerProducts)
+    from qgs_tpu.tensors.qgtensor import QgsTensorT4
+
+    pars = QgParams({'rr': 287.e0, 'sb': 5.6e-8}, T4=True)
+    pars.set_params({'kd': 0.04, 'kdp': 0.04, 'n': 1.5})
+    pars.set_atmospheric_channel_fourier_modes(2, 2, mode='symbolic')
+    pars.set_oceanic_basin_fourier_modes(2, 4, mode='symbolic')
+    aip = AtmosphericSymbolicInnerProducts(pars, quadrature=True)
+    oip = OceanicSymbolicInnerProducts(pars, quadrature=True)
+    tensor = QgsTensorT4(pars, aip, oip)
+    return pars, tensor
+
+
+def time_loop(run, y0, repeats=REPEATS):
+    import jax
+
+    y = run(y0)
+    jax.block_until_ready(y)
+    times = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        y = run(y)
+        jax.block_until_ready(y)
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def make_xla_runner(tensor, mode, dtype, steps):
+    import jax
+    import jax.numpy as jnp
+    from qgs_tpu.integrators.rk import make_rk_step, rk4_tableau
+    from qgs_tpu.ops.contraction import make_tendency_fns
+
+    f_b, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
+                               mode=mode, dtype=dtype)
+    a, b, c = rk4_tableau()
+    stp = make_rk_step(f_b, a, b, c)
+    dt = jnp.asarray(0.1, dtype)
+
+    @jax.jit
+    def run(y):
+        return jax.lax.fori_loop(0, steps,
+                                 lambda i, y: stp(y, dt * 0, dt), y)
+
+    return run
+
+
+def coo_stats(tensor):
+    """Padded-slot statistics of the auto (rowsum) layout, for the
+    bandwidth-roofline accounting."""
+    rows = np.bincount(np.asarray(tensor.tensor.coords[0]),
+                       minlength=tensor.tensor.shape[0])
+    R = int(rows.max())
+    n1 = tensor.tensor.shape[0]
+    return {"nnz": int(tensor.tensor.nnz), "max_row_nnz": R,
+            "mean_row_nnz": float(rows.mean()), "padded_slots": n1 * R}
+
+
+def point(config, path, ndim, stats, B, steps, times, platform, extra=None):
+    el = min(times)
+    steps_s = steps * B / el
+    rec = {"config": config, "path": path, "ndim": ndim, **stats,
+           "ensemble": B, "steps": steps,
+           "run_times_s": [round(t, 4) for t in times],
+           "traj_steps_per_s": steps_s,
+           "mode_updates_per_s": steps_s * ndim}
+    if extra:
+        rec.update(extra)
+    if path == "dense":
+        n1 = ndim + 1
+        flops = 8.0 * n1 ** 3            # 4 stages x 2 n1^3 MACs... per traj-step
+        achieved = steps_s * flops / 1e12
+        rec["useful_flops_per_traj_step"] = flops
+        rec["achieved_tflops"] = achieved
+        if platform == "tpu":
+            rec["mfu_vs_bf16_peak"] = achieved / V5E_PEAK_BF16_TFLOPS
+            rec["mfu_vs_exact_f32_ceiling"] = achieved / (
+                V5E_PEAK_BF16_TFLOPS / EXACT_F32_PASSES)
+    if path in ("coo", "t4"):
+        # roofline: per stage the rowsum kernel touches ~3 padded slots of
+        # 4 bytes per output element (two index gathers of the state + the
+        # value lane) — the honest traffic bound of a gather-dominated op
+        slots = stats.get("padded_slots", stats["nnz"])
+        traffic = 4 * 3 * slots * 4.0    # bytes per traj-step
+        rec["algorithmic_flops_per_traj_step"] = 4 * 3 * stats["nnz"]
+        rec["gather_traffic_bytes_per_traj_step"] = traffic
+        if platform == "tpu":
+            rec["achieved_gather_gbps"] = steps_s * traffic / 1e9
+            rec["hbm_roofline_gbps"] = HBM_GBPS
+    return rec
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    B = int(os.environ.get("QGS_RES_ENSEMBLE", 4096))
-    STEPS = int(os.environ.get("QGS_RES_STEPS", 500))
-    DTYPE = os.environ.get("QGS_RES_DTYPE", "float32")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    cfg_keys = os.environ.get("QGS_RES_CONFIGS",
+                              ",".join(CONFIGS)).split(",")
+    paths = os.environ.get("QGS_RES_PATHS", "coo,dense,pallas").split(",")
+    out_path = os.environ.get("QGS_RES_OUT")
+    platform = jax.devices()[0].platform
 
     results = []
-    for na, no in [((2, 2), (2, 4)), ((4, 4), (4, 4)), ((6, 6), (6, 6))]:
+
+    def flush():
+        doc = {"metric": "resolution_sweep", "platform": platform,
+               "repeats": REPEATS, "points": results}
+        if out_path:
+            with open(out_path, "w") as fh:
+                json.dump(doc, fh, indent=1)
+        return doc
+
+    for key in cfg_keys:
+        na, no = CONFIGS[key]
+        t0 = time.time()
         pars, tensor = build(na, no)
         ndim = pars.ndim
-        y0_np = np.random.default_rng(0).random((B, ndim)) * 0.01
+        stats = coo_stats(tensor)
+        B_coo, B_dense, B_pal, blk, st_coo, st_dense = sizing(ndim)
+        print(f"[{key}] ndim={ndim} nnz={stats['nnz']} "
+              f"(built in {time.time()-t0:.0f}s)", flush=True)
+        rng = np.random.default_rng(0)
 
-        if DTYPE == "twofloat":
-            from qgs_tpu.ops.twofloat import make_df_rk4_step, df_from_f64
-            step = make_df_rk4_step(tensor.tensor, 0.1)
-            run = jax.jit(lambda y: jax.lax.fori_loop(
-                0, STEPS, lambda i, y: step(y), y))
-            y0 = df_from_f64(jnp.asarray(y0_np))
-            first = lambda y: y[0]
-        else:
-            from qgs_tpu.integrators.rk import make_rk_step, rk4_tableau
-            from qgs_tpu.ops.contraction import make_tendency_fns
-            f_b, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
-                                       dtype=jnp.float32)
-            a, b, c = rk4_tableau()
-            stp = make_rk_step(f_b, a, b, c)
-            dt32 = jnp.asarray(0.1, jnp.float32)
-            run = jax.jit(lambda y: jax.lax.fori_loop(
-                0, STEPS, lambda i, y: stp(y, dt32 * 0, dt32), y))
-            y0 = jnp.asarray(y0_np, jnp.float32)
-            first = lambda y: y
+        if "coo" in paths:
+            run = make_xla_runner(tensor, "auto", jnp.float32, st_coo)
+            y0 = jnp.asarray(rng.random((B_coo, ndim)) * 0.01, jnp.float32)
+            times = time_loop(run, y0)
+            results.append(point(key, "coo", ndim, stats, B_coo, st_coo,
+                                 times, platform))
+            print(f"  coo   : {results[-1]['traj_steps_per_s']:14,.0f} "
+                  f"traj-steps/s", flush=True)
+            flush()
 
-        y = run(y0)
-        first(y).block_until_ready()
-        t0 = time.perf_counter()
-        y = run(y0)
-        first(y).block_until_ready()
-        el = time.perf_counter() - t0
-        steps_s = STEPS * B / el
-        results.append({
-            "config": f"atm{na[0]}x{na[1]}+oc{no[0]}x{no[1]}",
-            "ndim": ndim,
-            "nnz": int(tensor.tensor.nnz),
-            "traj_steps_per_s": steps_s,
-            "mode_updates_per_s": steps_s * ndim,
-        })
-        print(f"{results[-1]['config']:>14s}  ndim={ndim:3d} nnz={tensor.tensor.nnz:5d}"
-              f"  {steps_s:>12,.0f} traj-steps/s"
-              f"  {steps_s * ndim:>14,.0f} mode-updates/s", flush=True)
+        if "dense" in paths:
+            run = make_xla_runner(tensor, "dense", jnp.float32, st_dense)
+            y0 = jnp.asarray(rng.random((B_dense, ndim)) * 0.01, jnp.float32)
+            times = time_loop(run, y0)
+            results.append(point(key, "dense", ndim, stats, B_dense,
+                                 st_dense, times, platform))
+            p = results[-1]
+            mfu = p.get("mfu_vs_exact_f32_ceiling")
+            print(f"  dense : {p['traj_steps_per_s']:14,.0f} traj-steps/s"
+                  + (f"  ({p['achieved_tflops']:.1f} TF, "
+                     f"{mfu:.1%} of exact-f32 ceiling)" if mfu else ""),
+                  flush=True)
+            flush()
 
-    print(json.dumps({"metric": f"maooam_resolution_sweep_{DTYPE}",
-                      "ensemble": B, "results": results}))
+        if "pallas" in paths and B_pal is not None and platform == "tpu":
+            from qgs_tpu.ops.pallas_kernels import make_pallas_rk4_f32
+            try:
+                run = make_pallas_rk4_f32(tensor.tensor, 0.1, st_dense,
+                                          batch_block=blk)
+                y0 = jnp.asarray(rng.random((B_pal, ndim)) * 0.01,
+                                 jnp.float32)
+                times = time_loop(run, y0)
+                results.append(point(key, "pallas", ndim, stats, B_pal,
+                                     st_dense, times, platform))
+                print(f"  pallas: {results[-1]['traj_steps_per_s']:14,.0f} "
+                      f"traj-steps/s", flush=True)
+            except Exception as err:        # VMEM exhaustion at high ndim
+                results.append({"config": key, "path": "pallas",
+                                "ndim": ndim, "error": str(err)[:300]})
+                print(f"  pallas: FAILED ({str(err)[:120]})", flush=True)
+            flush()
+
+    if os.environ.get("QGS_RES_T4", "1") != "0":
+        t0 = time.time()
+        pars, tensor = build_t4()
+        stats = coo_stats(tensor)
+        stats["rank"] = int(tensor.tensor.rank)
+        print(f"[t4] ndim={pars.ndim} rank-5 nnz={stats['nnz']} "
+              f"(built in {time.time()-t0:.0f}s)", flush=True)
+        run = make_xla_runner(tensor, "auto", jnp.float32, 1000)
+        rng = np.random.default_rng(0)
+        y0 = jnp.asarray(rng.random((4096, pars.ndim)) * 0.01, jnp.float32)
+        times = time_loop(run, y0)
+        results.append(point("t4_2x2_2x4", "t4", pars.ndim, stats, 4096,
+                             1000, times, platform))
+        print(f"  t4    : {results[-1]['traj_steps_per_s']:14,.0f} "
+              f"traj-steps/s", flush=True)
+
+    print(json.dumps(flush()))
 
 
 if __name__ == "__main__":

@@ -115,6 +115,8 @@ def _mp_launch(num_processes):
 
 
 def main_multiprocess():
+    import json
+
     rate1 = _mp_launch(1)
     rate2 = _mp_launch(2)
     eff = rate2 / (2 * rate1)
@@ -126,6 +128,13 @@ def main_multiprocess():
           "collective-free, so efficiency is compute-bound.")
     assert eff >= 0.85, f"scaling efficiency {eff:.1%} below the 85% gate"
     print(f"PASS: {eff:.1%} >= 85% (BASELINE.json multi-host gate)")
+    print(json.dumps({
+        "metric": "maooam_multiprocess_weak_scaling",
+        "mode": "2 pinned CPU processes, jax.distributed + Gloo",
+        "per_process_ensemble": PER_PROC, "steps": MP_STEPS,
+        "traj_steps_per_s": {"1": rate1, "2": rate2},
+        "efficiency": eff, "gate": 0.85, "pass": bool(eff >= 0.85),
+    }))
     return eff
 
 
@@ -176,6 +185,7 @@ def main():
         results[n_dev] = meter.traj_steps_per_s
         n_dev *= 2
 
+    import json
     import os
 
     base = results[1]
@@ -191,6 +201,13 @@ def main():
               f"bounded by the silicon, not the sharding program. "
               f"Efficiency vs the {n_cores}-core ideal at {max(results)} devices: "
               f"{results[max(results)] / (base * min(n_cores, max(results))):.1%}.")
+    print(json.dumps({
+        "metric": "maooam_ensemble_weak_scaling",
+        "platform": platform, "per_device_ensemble": PER_DEVICE,
+        "traj_steps_per_s": {str(k): v for k, v in results.items()},
+        "efficiency": {str(k): results[k] / (base * k) for k in results},
+        "physical_cores": n_cores,
+    }))
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ import numpy as np
 
 from qgs_tpu.integrators.rk import (
     integrate_runge_kutta, integrate_runge_kutta_df, integrate_runge_kutta_tgls,
-    merge_tableau, rk4_tableau,
+    integrate_runge_kutta_tgls_df, merge_tableau, rk4_tableau,
 )
 from qgs_tpu.parallel.mesh import ensemble_mesh, ensemble_size, shard_ensemble
 from qgs_tpu.parallel.distributed import gather_to_host
@@ -214,10 +214,25 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
 
     def set_func(self, f, fjac=None, ic_init=True):
         self.func = _batched(f)
+        self._qgtensor = getattr(f, "qgtensor", None)
         if fjac is not None:
             self.func_jac = _batched(fjac)
         if ic_init:
             self.ic = None
+
+    def _check_twofloat(self, boundary):
+        if self._qgtensor is None:
+            raise RuntimeError(
+                "precision='twofloat' needs a tendency function from "
+                "create_tendencies (carrying its .qgtensor)")
+        if boundary is not None:
+            raise ValueError("precision='twofloat' does not support a "
+                             "boundary term")
+        a_ref, b_ref, c_ref = rk4_tableau()
+        if not (np.allclose(self.a, a_ref) and np.allclose(self.b, b_ref)
+                and np.allclose(self.c, c_ref)):
+            raise ValueError("precision='twofloat' supports the default "
+                             "RK4 tableau only")
 
     def integrate(self, t0, t, dt, ic=None, tg_ic=None, forward=True,
                   adjoint=False, inverse=False, boundary=None, write_steps=1):
@@ -232,11 +247,19 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
         if tg_ic is None:
             tg_ic = self.tg_ic if self.tg_ic is not None else np.eye(self.n_dim)
 
-        time, traj, fmat = integrate_runge_kutta_tgls(
-            self.func, self.func_jac, t0, t, dt, jnp.asarray(ic2), tg_ic,
-            forward=forward, adjoint=adjoint, inverse=inverse, boundary=boundary,
-            write_steps=write_steps, b=self.b, c=self.c, a=self.a,
-            mesh=self.mesh)
+        if self.precision == "twofloat":
+            self._check_twofloat(boundary)
+            time, traj, fmat = integrate_runge_kutta_tgls_df(
+                self._qgtensor.tensor, self._qgtensor.jacobian_tensor,
+                t0, t, dt, jnp.asarray(ic2), tg_ic, forward=forward,
+                adjoint=adjoint, inverse=inverse, write_steps=write_steps,
+                mesh=self.mesh)
+        else:
+            time, traj, fmat = integrate_runge_kutta_tgls(
+                self.func, self.func_jac, t0, t, dt, jnp.asarray(ic2), tg_ic,
+                forward=forward, adjoint=adjoint, inverse=inverse, boundary=boundary,
+                write_steps=write_steps, b=self.b, c=self.c, a=self.a,
+                mesh=self.mesh)
 
         self._time = time
         self._recorded_traj = jnp.squeeze(traj) if single else traj

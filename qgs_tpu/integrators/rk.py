@@ -368,6 +368,79 @@ def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
     return time[-1], traj[..., -1]
 
 
+def _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint, inverse,
+                      gather, accumulate):
+    key = (tensor, jtensor, write_steps, adjoint, inverse, gather,
+           accumulate, 'df_tgls')
+
+    def build():
+        from qgs_tpu.ops.twofloat import make_df_tgls_rk4_step_dynamic
+        step = make_df_tgls_rk4_step_dynamic(tensor, jtensor, adjoint=adjoint,
+                                             inverse=inverse, gather=gather,
+                                             accumulate=accumulate)
+        return jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td,
+                                                       write_steps))
+
+    return _scan_cache_get(key, build)
+
+
+def integrate_runge_kutta_tgls_df(tensor, jtensor, t0, t, dt, ic, tg_ic,
+                                  forward=True, adjoint=False, inverse=False,
+                                  write_steps=1, mesh=None, gather="take",
+                                  accumulate="auto"):
+    """Integrate the coupled (trajectory, tangent) system with the fused
+    double-float (2x float32) TGLS RK4 step (:mod:`qgs_tpu.ops.twofloat`):
+    ~48-bit-mantissa trajectories AND fundamental matrices at near-f32 TPU
+    throughput — the precision tier for the reference's other HOT path
+    (ref ``qgs/integrators/integrate.py:227-231,556-614``).
+
+    Same time-grid/record/shape semantics as
+    :func:`integrate_runge_kutta_tgls`; RK4 tableau only, no boundary term.
+    ``ic``/``tg_ic`` are float64 and the returned arrays are float64.
+    """
+    from qgs_tpu.ops.twofloat import df_from_f64, df_to_f64
+
+    ic = jnp.atleast_2d(jnp.asarray(ic, jnp.float64))
+    B, n = ic.shape
+    tg = jnp.asarray(tg_ic, jnp.float64)
+    if tg.ndim == 1:
+        tg = jnp.broadcast_to(tg[None, :, None], (B, n, 1))
+    elif tg.ndim == 2:
+        if tg.shape[0] == B and tg.shape[1] == n:
+            tg = tg[:, :, None]
+        else:   # (n_tg, ndim) matrix shared across the batch
+            tg = jnp.broadcast_to(tg.T[None, :, :], (B, n, tg.shape[0]))
+    elif tg.ndim == 3 and tg.shape[1] != n:
+        tg = jnp.swapaxes(tg, 1, 2)
+
+    n_orig = B
+    if mesh is not None and mesh.devices.size > 1 and B >= mesh.devices.size:
+        from qgs_tpu.parallel.mesh import shard_ensemble
+        ic, n_orig = shard_ensemble(ic, mesh)
+        tg, _ = shard_ensemble(tg, mesh)
+
+    time = time_grid(t0, t, dt)
+    directed = time if forward else time[::-1]
+    tts, dts = directed[:-1], np.diff(directed)
+
+    scan_fn = _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint,
+                                inverse, gather, accumulate)
+    td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
+    _, recs = scan_fn((df_from_f64(ic), df_from_f64(tg)), td_all)
+    traj = jnp.moveaxis(df_to_f64(recs[0])[:, :n_orig], 0, -1)
+    fmat = jnp.moveaxis(df_to_f64(recs[1])[:, :n_orig], 0, -1)
+
+    if not forward:
+        traj = traj[..., ::-1]
+        fmat = fmat[..., ::-1]
+
+    if write_steps > 0:
+        rec = _record_indices(len(time), write_steps)
+        rec_times = time[rec] if forward else time[::-1][rec][::-1]
+        return rec_times, jnp.squeeze(traj), jnp.squeeze(fmat)
+    return time[-1], jnp.squeeze(traj[..., -1]), jnp.squeeze(fmat[..., -1])
+
+
 def integrate_runge_kutta_tgls(f, fjac, t0, t, dt, ic, tg_ic, forward=True,
                                adjoint=False, inverse=False, boundary=None,
                                write_steps=1, b=None, c=None, a=None,

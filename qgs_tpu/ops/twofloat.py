@@ -545,6 +545,184 @@ def make_df_rk4_step(tensor: COO, dt, gather="take", accumulate="auto"):
     return lambda y: step(y, dt_df, half_dt, sixth_dt)
 
 
+def make_df_tangent_contraction(jtensor: COO, adjoint=False, inverse=False,
+                                accumulate="auto"):
+    """Double-float tangent-linear contraction
+    ``hom(xx_df, dm_df) -> df (B, n, n_tg)`` with
+
+        hom[b, i, t] = sum_e val_e * (prod_a xx[b, coords[a, e]])
+                                   * dm[b, coords[1, e] - 1, t]
+
+    scattered at output row ``coords[0, e] - 1`` — the double-float analogue
+    of the Jacobian-tensor tangent system (ref
+    ``qgs/integrators/integrate.py:227-231``: ``Df = sparse_mul2(...)`` then
+    ``J @ dx`` / ``J^T @ dx`` for the adjoint, ``-J`` for the inverse).
+    Instead of materializing the dense Jacobian, the product is contracted
+    directly in COO form with the same bucketed-gather layout as the
+    quadratic kernel.
+
+    ``xx_df`` is the dummy-padded state (B, n1); ``dm_df`` the tangent block
+    (B, n, n_tg) WITHOUT the dummy row (its tangent is identically zero, so
+    entries gathering/scattering index 0 are dropped on host).
+
+    ``adjoint`` transposes the Jacobian by swapping the scatter/gather mode
+    indices on host; ``inverse`` negates the values on host — both exact,
+    zero runtime cost.  Works for any tensor rank >= 3 (the rank-5 T4 /
+    dynamic-T Jacobians gather the state at each trailing coordinate)."""
+    n1 = jtensor.shape[0]
+    n = n1 - 1
+    if accumulate == "auto":
+        accumulate = "fast" if jax.default_backend() not in ("cpu",) else "strict"
+    sloppy = accumulate == "fast"
+    mul = _sloppy_mul if sloppy else df_mul
+    reduce_last = _sloppy_reduce_last if sloppy else df_reduce_last
+
+    coords = [np.asarray(c) for c in jtensor.coords]
+    data = np.asarray(jtensor.data)
+    if inverse:
+        data = -data
+    if adjoint:
+        coords[0], coords[1] = coords[1], coords[0]
+    # output row 0 (dummy) is discarded and the dummy's tangent row is 0
+    keep = (coords[0] != 0) & (coords[1] != 0)
+    rows = coords[0][keep] - 1
+    dm_idx = coords[1][keep] - 1
+    x_cols = [c[keep] for c in coords[2:]]
+    vals = data[keep]
+
+    buckets, perm = _bucketed_layout(rows, vals, [dm_idx] + x_cols, n)
+
+    prepped = []
+    for row_ids, bvals, idxs, R_g in buckets:
+        dm_flat = idxs[0].reshape(-1)
+        packed_dm = jnp.asarray(np.concatenate([dm_flat, dm_flat + n]))
+        packed_xs = [jnp.asarray(np.concatenate([a.reshape(-1),
+                                                 a.reshape(-1) + n1]))
+                     for a in idxs[1:]]
+        flat_vals = bvals.reshape(-1)
+        vhi_np = np.asarray(flat_vals, np.float32)
+        shi_np, slo_np = _presplit(vhi_np)
+        vc = tuple(jnp.asarray(a, jnp.float32)[None, :] for a in
+                   (vhi_np, flat_vals - vhi_np.astype(np.float64),
+                    shi_np, slo_np))
+        prepped.append((row_ids.size, R_g, packed_dm, packed_xs, vc))
+    perm_d = jnp.asarray(perm)
+
+    def hom(xx, dm):
+        """xx: df (B, n1); dm: df (B, n, n_tg) -> df (B, n, n_tg)."""
+        B = xx[0].shape[0]
+        n_tg = dm[0].shape[-1]
+        cat_x = jnp.concatenate([xx[0], xx[1]], axis=1)        # (B, 2*n1)
+        cat_dm = jnp.concatenate([dm[0], dm[1]], axis=1)       # (B, 2*n, t)
+
+        parts_hi, parts_lo = [], []
+        for N_g, R_g, packed_dm, packed_xs, V in prepped:
+            # coefficient: val * prod_a xx[k_a]  (df, (B, N_g*R_g))
+            if packed_xs:
+                g = jnp.take(cat_x, packed_xs[0], axis=1)
+                half = packed_xs[0].shape[0] // 2
+                t = _mul_const(V, (g[:, :half], g[:, half:]), sloppy)
+                for pk in packed_xs[1:]:
+                    g = jnp.take(cat_x, pk, axis=1)
+                    half = pk.shape[0] // 2
+                    t = mul(t, (g[:, :half], g[:, half:]))
+            else:
+                t = (jnp.broadcast_to(V[0], (B, V[0].shape[1])),
+                     jnp.broadcast_to(V[1], (B, V[1].shape[1])))
+            # tangent gather: (B, N_g*R_g, n_tg)
+            gdm = jnp.take(cat_dm, packed_dm, axis=1)
+            half = packed_dm.shape[0] // 2
+            dmg = (gdm[:, :half], gdm[:, half:])
+            tt = mul((t[0][..., None], t[1][..., None]), dmg)
+            # reduce the R_g slots per output row
+            s = reduce_last((
+                tt[0].reshape(B, N_g, R_g, n_tg).swapaxes(-1, -2),
+                tt[1].reshape(B, N_g, R_g, n_tg).swapaxes(-1, -2)))
+            parts_hi.append(s[0])
+            parts_lo.append(s[1])
+        z = jnp.zeros((B, 1, n_tg), jnp.float32)
+        hi = jnp.concatenate(parts_hi + [z], axis=1)
+        lo = jnp.concatenate(parts_lo + [z], axis=1)
+        return (jnp.take(hi, perm_d, axis=1), jnp.take(lo, perm_d, axis=1))
+
+    return hom
+
+
+def _df_tgls_rk4_core(tensor: COO, jtensor: COO, adjoint, inverse,
+                      gather, accumulate):
+    """Shared internals of the fused double-float TGLS RK4 step: returns
+    ``step((y, dm), dt_df, half_dt, sixth_dt)`` propagating the coupled
+    (trajectory, tangent/fundamental-matrix) system in double-float
+    (ref ``qgs/integrators/integrate.py:556-614``)."""
+    quad = make_df_quadratic(tensor, gather=gather, accumulate=accumulate)
+    tang = make_df_tangent_contraction(jtensor, adjoint=adjoint,
+                                       inverse=inverse, accumulate=accumulate)
+
+    def pad_dummy(y):
+        B = y[0].shape[0]
+        one = jnp.ones((B, 1), jnp.float32)
+        zero = jnp.zeros((B, 1), jnp.float32)
+        return (jnp.concatenate([one, y[0]], axis=1),
+                jnp.concatenate([zero, y[1]], axis=1))
+
+    def rhs(y, dm):
+        xx = pad_dummy(y)
+        out = quad(xx)
+        return (out[0][:, 1:], out[1][:, 1:]), tang(xx, dm)
+
+    def axpy(y, c, k):
+        ck = df_mul(k, (jnp.full_like(k[0], c[0]), jnp.full_like(k[0], c[1])))
+        return df_add(y, ck)
+
+    def step(carry, dt_df, half_dt, sixth_dt):
+        y, dm = carry
+        k1, m1 = rhs(y, dm)
+        k2, m2 = rhs(axpy(y, half_dt, k1), axpy(dm, half_dt, m1))
+        k3, m3 = rhs(axpy(y, half_dt, k2), axpy(dm, half_dt, m2))
+        k4, m4 = rhs(axpy(y, dt_df, k3), axpy(dm, dt_df, m3))
+        two = jnp.float32(2.0)
+        ks = df_add(df_add(k1, k4), df_scale(df_add(k2, k3), two))
+        ms = df_add(df_add(m1, m4), df_scale(df_add(m2, m3), two))
+        return axpy(y, sixth_dt, ks), axpy(dm, sixth_dt, ms)
+
+    return step
+
+
+def make_df_tgls_rk4_step(tensor: COO, jtensor: COO, dt, adjoint=False,
+                          inverse=False, gather="take", accumulate="auto"):
+    """Fused double-float TGLS RK4 step ``(y, dm) -> (y', dm')`` with (hi,
+    lo) pairs of shape (B, ndim) / (B, ndim, n_tg); ``dt`` baked in (its
+    double-float split computed exactly on host).  The model is autonomous
+    (every qgs tendency ignores t), so no time argument is carried."""
+    step = _df_tgls_rk4_core(tensor, jtensor, adjoint, inverse, gather,
+                             accumulate)
+    dt_df = df_const(dt)
+    half_dt = df_const(dt / 2.0)
+    sixth_dt = df_const(dt / 6.0)
+    return lambda carry: step(carry, dt_df, half_dt, sixth_dt)
+
+
+def make_df_tgls_rk4_step_dynamic(tensor: COO, jtensor: COO, adjoint=False,
+                                  inverse=False, gather="take",
+                                  accumulate="auto"):
+    """Fused double-float TGLS RK4 step ``step(carry, tt, dt) -> carry`` with
+    the timestep as a traced float64 scalar — the signature used by
+    :func:`qgs_tpu.integrators.rk._scan_chunks`."""
+    step = _df_tgls_rk4_core(tensor, jtensor, adjoint, inverse, gather,
+                             accumulate)
+
+    def dyn_step(carry, tt, dt):
+        del tt
+        dt64 = jnp.asarray(dt, jnp.float64)
+        hi = dt64.astype(jnp.float32)
+        dt_df = (hi, (dt64 - hi.astype(jnp.float64)).astype(jnp.float32))
+        half_dt = (jnp.float32(0.5) * dt_df[0], jnp.float32(0.5) * dt_df[1])
+        sixth_dt = df_div_scalar(dt_df, 6.0)
+        return step(carry, dt_df, half_dt, sixth_dt)
+
+    return dyn_step
+
+
 def make_df_rk4_step_dynamic(tensor: COO, gather="take", accumulate="auto"):
     """Fused double-float RK4 step ``step(y, tt, dt) -> y_new`` taking the
     timestep as a traced float64 scalar — the signature used by the generic

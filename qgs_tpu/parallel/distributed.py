@@ -225,6 +225,47 @@ def _selftest_worker(process_id, num_processes, port, model_axis_size):
 
     np.testing.assert_allclose(traj, traj_ref, rtol=1e-12, atol=1e-14)
 
+    # -- TGLS: tangent/fundamental matrices sharded across processes -------
+    from qgs_tpu.integrators.integrator import RungeKuttaTglsIntegrator
+
+    tgls = RungeKuttaTglsIntegrator(mesh=mesh)
+    tgls.set_func(f, Df)
+    tgls.integrate(0., 1., 0.1, ic=ic, tg_ic=np.eye(pars.ndim), write_steps=0)
+    _, traj_tg, fmat = tgls.get_trajectories()
+
+    tgls_o = RungeKuttaTglsIntegrator(mesh=local_mesh)
+    tgls_o.set_func(f, Df)
+    tgls_o.integrate(0., 1., 0.1, ic=ic, tg_ic=np.eye(pars.ndim),
+                     write_steps=0)
+    _, traj_tg_ref, fmat_ref = tgls_o.get_trajectories()
+    np.testing.assert_allclose(fmat, fmat_ref, rtol=1e-12, atol=1e-14)
+
+    # -- Lyapunov toolbox: a short BLV window sharded across processes -----
+    from qgs_tpu.toolbox.lyapunov import compute_backward_lyapunovs
+
+    _, _, exps, vecs = compute_backward_lyapunovs(
+        f.batched, Df.batched, 0., 0.5, 1.5, 0.1, 0.1, ic, write_steps=0,
+        mesh=mesh)
+    _, _, exps_ref, vecs_ref = compute_backward_lyapunovs(
+        f.batched, Df.batched, 0., 0.5, 1.5, 0.1, 0.1, ic, write_steps=0)
+    np.testing.assert_allclose(gather_to_host(exps), gather_to_host(exps_ref),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(gather_to_host(vecs), gather_to_host(vecs_ref),
+                               rtol=1e-12, atol=1e-14)
+
+    # -- twofloat tier under the distributed mesh: the df kernel is
+    # per-member elementwise, so the cross-process result must equal the
+    # single-device one exactly
+    integ_df = RungeKuttaIntegrator(mesh=mesh, precision="twofloat")
+    integ_df.set_func(f)
+    integ_df.integrate(0., 1., 0.1, ic=ic, write_steps=0)
+    _, traj_df = integ_df.get_trajectories()
+    integ_df_o = RungeKuttaIntegrator(mesh=local_mesh, precision="twofloat")
+    integ_df_o.set_func(f)
+    integ_df_o.integrate(0., 1., 0.1, ic=ic, write_steps=0)
+    _, traj_df_ref = integ_df_o.get_trajectories()
+    np.testing.assert_allclose(traj_df, traj_df_ref, rtol=1e-12, atol=1e-14)
+
     # -- model-axis (ICI psum) path, when requested ------------------------
     if model_axis_size > 1:
         from qgs_tpu.parallel.sharded_tendency import make_sharded_tendency
@@ -242,7 +283,9 @@ def _selftest_worker(process_id, num_processes, port, model_axis_size):
 
     print(f"DISTOK process={process_id}/{num_processes} "
           f"mesh={dict(mesh.shape)} B={B} ndim={pars.ndim} "
-          f"records={np.asarray(traj).shape}", flush=True)
+          f"records={np.asarray(traj).shape} "
+          f"checks=ensemble,tgls,blv,twofloat"
+          f"{',model-psum' if model_axis_size > 1 else ''}", flush=True)
 
 
 if __name__ == "__main__":

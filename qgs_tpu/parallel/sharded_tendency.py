@@ -31,13 +31,23 @@ MODEL_AXIS = "model"
 ENSEMBLE_AXIS = "ensemble"
 
 
-def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None):
+def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None,
+                          overlap_chunks=1):
     """Build a batched tendency function whose reduction axis is sharded
     over the mesh's ``'model'`` axis and whose batch axis is sharded over
     ``'ensemble'``.
 
     Returns ``f(t, x)`` mapping (B, ndim) -> (B, ndim), to be called inside
     ``jax.jit`` with ``x`` sharded ``P('ensemble', None)``.
+
+    ``overlap_chunks > 1`` splits the local batch into that many chunks
+    with one ``psum`` per chunk: chunk k+1's partial contraction is
+    independent of chunk k's all-reduce, so the XLA scheduler can overlap
+    the ICI collective with MXU compute (total collective bytes are
+    unchanged — the batch axis is split, not the reduction axis).  This is
+    the collective/compute-overlap engineering BASELINE.md calls for; on a
+    single chip or a virtual CPU mesh both variants are bitwise-identical
+    programs modulo scheduling.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -70,6 +80,13 @@ def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None):
         local = jax.lax.dynamic_slice(outer_pad, (jnp.int32(0), lo),
                                       (B, T_local.shape[0]))
         # HIGHEST: the TPU f32 matmul default is one bf16 pass (~2e-3 rel)
+        if overlap_chunks > 1 and B % overlap_chunks == 0:
+            c = B // overlap_chunks
+            parts = [jax.lax.psum(
+                jnp.matmul(local[k * c:(k + 1) * c], T_local,
+                           precision=jax.lax.Precision.HIGHEST),
+                MODEL_AXIS) for k in range(overlap_chunks)]
+            return jnp.concatenate(parts, axis=0)
         partial = jnp.matmul(local, T_local,
                              precision=jax.lax.Precision.HIGHEST)
         return jax.lax.psum(partial, MODEL_AXIS)

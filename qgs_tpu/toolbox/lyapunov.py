@@ -75,6 +75,72 @@ def _normalize_columns(m):
     return m / norms[..., None, :], norms
 
 
+# pytree record helpers: states are plain arrays in the ambient-dtype path
+# and (hi, lo) float32 pairs in the twofloat path — these treat both
+# uniformly (a plain array is a single-leaf tree)
+_tmap = jax.tree_util.tree_map
+
+
+def _tappend(recs, last):
+    return _tmap(lambda r, l: jnp.concatenate([r, l[None]], axis=0), recs, last)
+
+
+def _tprepend(first, recs):
+    return _tmap(lambda f_, r: jnp.concatenate([f_[None], r], axis=0), first, recs)
+
+
+def _tindex(tree, idx):
+    return _tmap(lambda x: x[idx], tree)
+
+
+def _check_df_args(tensors, tableau):
+    if tensors is None:
+        raise ValueError(
+            "precision='twofloat' needs tensors=(tendency_tensor, "
+            "jacobian_tensor) — e.g. (f.qgtensor.tensor, "
+            "f.qgtensor.jacobian_tensor) from create_tendencies")
+    if tableau is not None:
+        a_r, b_r, c_r = rk4_tableau()
+        ta, tb, tc = tableau
+        if not (np.allclose(ta, a_r) and np.allclose(tb, b_r)
+                and np.allclose(tc, c_r)):
+            raise ValueError("precision='twofloat' supports the default RK4 "
+                             "tableau only")
+
+
+def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
+                        backward=False):
+    """Double-float Benettin window: the (y, Q) tangent propagation runs in
+    double-float (2x float32) arithmetic (:mod:`qgs_tpu.ops.twofloat`), the
+    per-window QR re-orthonormalization in float64 (the df->f64 conversion
+    is exact; the QR is one batched (n, n_vec) factorization per ``dt``
+    window vs ``n_sub`` tangent RK4 substeps, so its emulated-f64 cost on
+    TPU is a small fraction of the window).  Carries are (hi, lo) pairs;
+    returns the R factor in float64 for exact ``log|diag R|`` exponent
+    accumulation — the precision-critical quantity of the Benettin
+    algorithm (ref ``qgs/toolbox/lyapunov.py:481-613``)."""
+    from qgs_tpu.ops.twofloat import (df_from_f64, df_to_f64,
+                                      make_df_tgls_rk4_step)
+
+    n_sub = _n_sub(dt, mdt)
+    h = -mdt if backward else mdt
+    step = make_df_tgls_rk4_step(tensor, jtensor, h, adjoint=adjoint,
+                                 inverse=inverse)
+
+    def window(carry, tt):
+        del tt                       # the model is autonomous
+
+        def sub(carry2, _):
+            return step(carry2), None
+
+        carry2, _ = jax.lax.scan(sub, carry, None, length=n_sub)
+        y2, M = carry2
+        Q64, R = jnp.linalg.qr(df_to_f64(M))
+        return (y2, df_from_f64(Q64)), R
+
+    return window
+
+
 def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=False,
                      backward=False):
     """One Benettin window: propagate (y, Q) over ``dt`` with tangent
@@ -111,16 +177,26 @@ def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=Fals
 
 def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
                                write_steps=1, adjoint=False, inverse=False,
-                               tableau=None, seed=0, mesh=None):
+                               tableau=None, seed=0, mesh=None,
+                               precision=None, tensors=None):
     """Backward Lyapunov vectors/exponents between ``tw`` and ``t`` after a
     convergence transient from ``t0`` to ``tw`` (Benettin QR algorithm).
 
     ``f``/``fjac`` must be batched; ``ic`` is (B, n) or (n,).  With
     ``mesh``, the ensemble axis (incl. the (B, n, n_vec) tangent blocks)
-    is sharded across the mesh.
+    is sharded across the mesh.  With ``precision='twofloat'`` (requires
+    ``tensors=(T, JT)``, the COO tendency/Jacobian tensors), the tangent
+    flow is propagated in double-float (2x float32) arithmetic with
+    per-window float64 QR — ~f64 exponent accuracy at near-f32 TPU
+    throughput (see :func:`make_window_step_df`).
     Returns ``(times, traj, exponents, vectors)`` with reference shapes
     (B, n, n_rec), (B, n_vec, n_rec), (B, n, n_vec, n_rec) squeezed.
     """
+    df_mode = precision == "twofloat"
+    if df_mode:
+        _check_df_args(tensors, tableau)
+        from qgs_tpu.ops.twofloat import df_from_f64, df_to_f64
+        ic = jnp.asarray(ic, jnp.float64)
     ic = jnp.atleast_2d(jnp.asarray(ic))
     ic, n_orig, put = _shard_ic(mesh, ic)
     B, n = ic.shape
@@ -134,7 +210,15 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0], dtype=ic.dtype)
     Q0 = put(jnp.broadcast_to(Q0[None], (B, n, n_vec)))
 
-    window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse)
+    if df_mode:
+        window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
+                                     adjoint, inverse)
+        y0c, Q0c = df_from_f64(ic), df_from_f64(Q0)
+        exp_dtype = jnp.float64
+    else:
+        window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse)
+        y0c, Q0c = ic, Q0
+        exp_dtype = ic.dtype
 
     @jax.jit
     def run(y0, Q0):
@@ -150,15 +234,17 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
         # seed exponent from one extra window at tw - dt? reference uses the
         # R of the *previous* window; emit the carry-in exponent instead
         (state, exps), (ys, Qs, exps_s) = jax.lax.scan(
-            rec_window, ((y, Q), jnp.zeros((B, n_vec), dtype=ic.dtype)),
+            rec_window, ((y, Q), jnp.zeros((B, n_vec), dtype=exp_dtype)),
             tw + dt * jnp.arange(n_rec_w))
         # append final point
-        ys = jnp.concatenate([ys, state[0][None]], axis=0)
-        Qs = jnp.concatenate([Qs, state[1][None]], axis=0)
+        ys = _tappend(ys, state[0])
+        Qs = _tappend(Qs, state[1])
         exps_s = jnp.concatenate([exps_s, exps[None]], axis=0)
         return ys, Qs, exps_s
 
-    ys, Qs, exps = run(ic, Q0)
+    ys, Qs, exps = run(y0c, Q0c)
+    if df_mode:
+        ys, Qs = df_to_f64(ys), df_to_f64(Qs)
 
     times = tw + dt * np.arange(n_rec_w + 1)
     idx = np.arange(0, n_rec_w + 1, max(write_steps, 1))
@@ -175,11 +261,19 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
 
 def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
                               write_steps=1, adjoint=False, inverse=False,
-                              tableau=None, seed=0, mesh=None):
+                              tableau=None, seed=0, mesh=None,
+                              precision=None, tensors=None):
     """Forward Lyapunov vectors/exponents between ``t0`` and ``tw``: the
     trajectory is integrated forward to ``t``, then the tangent flow is
     propagated backward with QR re-orthonormalization (converging over
-    [t, tw], recording over [tw, t0])."""
+    [t, tw], recording over [tw, t0]).  ``precision='twofloat'`` as in
+    :func:`compute_backward_lyapunovs`."""
+    df_mode = precision == "twofloat"
+    if df_mode:
+        _check_df_args(tensors, tableau)
+        from qgs_tpu.ops.twofloat import (df_from_f64, df_to_f64,
+                                          make_df_rk4_step)
+        ic = jnp.asarray(ic, jnp.float64)
     ic = jnp.atleast_2d(jnp.asarray(ic))
     ic, n_orig, put = _shard_ic(mesh, ic)
     B, n = ic.shape
@@ -192,30 +286,41 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     if tableau is None:
         tableau = rk4_tableau()
     a_t, b_t, c_t = tableau
-    fwd_step = make_rk_step(f, a_t, b_t, c_t)
     n_sub = _n_sub(dt, mdt)
 
     rng = np.random.default_rng(seed)
     Q0 = jnp.asarray(np.linalg.qr(rng.random((n, n_vec)))[0], dtype=ic.dtype)
     Q0 = put(jnp.broadcast_to(Q0[None], (B, n, n_vec)))
 
-    window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse,
-                              backward=True)
+    if df_mode:
+        window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
+                                     adjoint, inverse, backward=True)
+        fwd_df = make_df_rk4_step(tensors[0], mdt)
+        fwd_sub = lambda y2, ts: fwd_df(y2)
+        y0c, Q0c = df_from_f64(ic), df_from_f64(Q0)
+        exp_dtype = jnp.float64
+    else:
+        window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse,
+                                  backward=True)
+        fwd_step = make_rk_step(f, a_t, b_t, c_t)
+        fwd_sub = lambda y2, ts: fwd_step(y2, ts,
+                                          jnp.asarray(mdt, dtype=y2.dtype))
+        y0c, Q0c = ic, Q0
+        exp_dtype = ic.dtype
 
     @jax.jit
     def run(y0, Q0):
         # forward trajectory, stored at window boundaries
         def fwd_window(y, tt):
             def sub(y2, k):
-                return fwd_step(y2, tt + k * mdt,
-                                jnp.asarray(mdt, dtype=y2.dtype)), None
+                return fwd_sub(y2, tt + k * mdt), None
 
             y2, _ = jax.lax.scan(sub, y, jnp.arange(n_sub))
             return y2, y2
 
         yT, ys = jax.lax.scan(fwd_window, y0,
                               t0 + dt * jnp.arange(n_rec_w + n_post))
-        ys = jnp.concatenate([y0[None], ys], axis=0)   # states at all boundaries
+        ys = _tprepend(y0, ys)                  # states at all boundaries
 
         # backward convergence pass over [t, tw]
         def conv_window(Q, inp):
@@ -224,7 +329,7 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
             return Q2, R
 
         post_tts = t - dt * jnp.arange(n_post)
-        post_ys = ys[n_rec_w + n_post - jnp.arange(n_post)]
+        post_ys = _tindex(ys, n_rec_w + n_post - jnp.arange(n_post))
         Q, R_last = jax.lax.scan(conv_window, Q0, (post_tts, post_ys))
 
         # backward recording pass over [tw, t0]
@@ -237,20 +342,23 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
             return (Q2, R), out
 
         rec_tts = tw - dt * jnp.arange(n_rec_w)
-        rec_ys = ys[n_rec_w - jnp.arange(n_rec_w)]
+        rec_ys = _tindex(ys, n_rec_w - jnp.arange(n_rec_w))
         (Qf, Rf), (ys_r, Qs_r, exps_r) = jax.lax.scan(
             rec_window,
             (Q, R_last[-1] if n_post > 0
-             else jnp.zeros((B, n_vec, n_vec), dtype=ic.dtype)),
+             else jnp.zeros((B, n_vec, n_vec), dtype=exp_dtype)),
             (rec_tts, rec_ys))
         exps_f = jnp.log(jnp.abs(jnp.diagonal(Rf, axis1=-2, axis2=-1))) / dt
-        ys_r = jnp.concatenate([ys_r, ys[0][None]], axis=0)
-        Qs_r = jnp.concatenate([Qs_r, Qf[None]], axis=0)
+        ys_r = _tappend(ys_r, _tindex(ys, 0))
+        Qs_r = _tappend(Qs_r, Qf)
         exps_r = jnp.concatenate([exps_r, exps_f[None]], axis=0)
         # records run backward in time — flip to ascending
-        return ys_r[::-1], Qs_r[::-1], exps_r[::-1]
+        return (_tindex(ys_r, slice(None, None, -1)),
+                _tindex(Qs_r, slice(None, None, -1)), exps_r[::-1])
 
-    ys, Qs, exps = run(ic, Q0)
+    ys, Qs, exps = run(y0c, Q0c)
+    if df_mode:
+        ys, Qs = df_to_f64(ys), df_to_f64(Qs)
 
     times = t0 + dt * np.arange(n_rec_w + 1)
     idx = np.arange(0, n_rec_w + 1, max(write_steps, 1))
@@ -271,7 +379,7 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
 
 def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
                          write_steps=1, tableau=None, seed=0, noise_pert=0.0,
-                         mesh=None):
+                         mesh=None, precision=None, tensors=None):
     """Covariant Lyapunov vectors between ``ta`` and ``tb`` via the Ginelli
     method: forward Benettin pass storing (Q, R), backward triangular-solve
     pass from ``tc``.  Memory scales with the number of ``dt`` windows in
@@ -281,7 +389,18 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     triangular solve, Gaussian noise of that amplitude is added to the
     diagonal of the coefficient matrix before column renormalization
     (Kuptsov & Parlitz 2012; ref ``qgs/toolbox/lyapunov.py:773-784`` setter,
-    applied in the backward Ginelli loop at ``:1258-1276``)."""
+    applied in the backward Ginelli loop at ``:1258-1276``).
+
+    ``precision='twofloat'``: forward Benettin windows run in double-float
+    with f64 QR (see :func:`make_window_step_df`); the backward
+    triangular-solve pass runs in plain f64 on the stored R matrices (one
+    (n_vec, n_vec) solve per window — cheap next to the tangent
+    propagation)."""
+    df_mode = precision == "twofloat"
+    if df_mode:
+        _check_df_args(tensors, tableau)
+        from qgs_tpu.ops.twofloat import df_from_f64, df_to_f64
+        ic = jnp.asarray(ic, jnp.float64)
     ic = jnp.atleast_2d(jnp.asarray(ic))
     ic, n_orig, put = _shard_ic(mesh, ic)
     B, n = ic.shape
@@ -301,13 +420,18 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     A0 = put(jnp.broadcast_to(jnp.asarray(A0, dtype=ic.dtype)[None],
                               (B, n_vec, n_vec)))
 
-    window = make_window_step(f, fjac, dt, mdt, tableau)
+    if df_mode:
+        window = make_window_step_df(tensors[0], tensors[1], dt, mdt)
+        y0c, Q0c = df_from_f64(ic), df_from_f64(Q0)
+    else:
+        window = make_window_step(f, fjac, dt, mdt, tableau)
+        y0c, Q0c = ic, Q0
 
     # per-backward-step diagonal regularization noise (host-drawn so the
     # zero-amplitude path is bitwise identical to no regularization)
     noise = put(jnp.asarray(
         rng.standard_normal((n_rec + n_post, B, n_vec)) * noise_pert,
-        dtype=ic.dtype), 1)
+        dtype=A0.dtype), 1)
 
     @jax.jit
     def run(y0, Q0, A0):
@@ -319,8 +443,12 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
 
         (y, Q), (ys, Qs, Rs) = jax.lax.scan(rec_window, (y, Q),
                                             ta + dt * jnp.arange(n_rec))
-        ys = jnp.concatenate([ys, y[None]], axis=0)
-        Qs = jnp.concatenate([Qs, Q[None]], axis=0)
+        ys = _tappend(ys, y)
+        Qs = _tappend(Qs, Q)
+        if df_mode:
+            # CLV assembly and the backward pass run in f64 (exact df->f64)
+            from qgs_tpu.ops.twofloat import df_to_f64 as _to64
+            Qs = _to64(Qs)
 
         def post_window(carry, tt):
             (y2, Q2), R = window(carry, tt)
@@ -361,7 +489,9 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
         exps = jnp.concatenate([exps, exps_last[None]], axis=0)
         return ys, clvs, exps
 
-    ys, clvs, exps = run(ic, Q0, A0)
+    ys, clvs, exps = run(y0c, Q0c, A0)
+    if df_mode:
+        ys = df_to_f64(ys)
 
     times = ta + dt * np.arange(n_rec + 1)
     idx = np.arange(0, n_rec + 1, max(write_steps, 1))
@@ -378,24 +508,28 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
 
 def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
                           tableau=None, seed=0, return_blvs=False, return_flvs=False,
-                          mesh=None):
+                          mesh=None, precision=None, tensors=None):
     """Covariant Lyapunov vectors by intersecting the BLV and FLV subspaces
     (Eckmann-Ruelle / Kuptsov-Parlitz): CLV_j spans
     ``span(BLV_1..j) ∩ span(FLV_1..n-j+1)``.  Lower memory than Ginelli for
-    long trajectories."""
+    long trajectories.  ``precision='twofloat'`` propagates both Benettin
+    passes in double-float (the SVD intersection and the one-substep local
+    exponents run in f64 on the recorded vectors either way)."""
     ic = jnp.atleast_2d(jnp.asarray(ic))
     B, n = ic.shape
 
     tt_b, traj, bexp, bvec = compute_backward_lyapunovs(
         f, fjac, t0, ta, tb, dt, mdt, ic, n_vec=n, write_steps=write_steps,
-        tableau=tableau, seed=seed, mesh=mesh)
+        tableau=tableau, seed=seed, mesh=mesh, precision=precision,
+        tensors=tensors)
     # forward vectors on the same span [ta, tb], converging over [tb, tc]:
     # the forward pass starts at ta, so its IC is the state at ta — the
     # first recorded point of the backward pass (for every batch size)
     ic_at_ta = traj.reshape(B, n, -1)[:, :, 0]
     tt_f, _, fexp, fvec = compute_forward_lyapunovs(
         f, fjac, ta, tb, tc, dt, mdt, ic_at_ta,
-        n_vec=n, write_steps=write_steps, tableau=tableau, seed=seed, mesh=mesh)
+        n_vec=n, write_steps=write_steps, tableau=tableau, seed=seed, mesh=mesh,
+        precision=precision, tensors=tensors)
 
     bvec_ = jnp.asarray(bvec).reshape(B, n, n, -1)
     fvec_ = jnp.asarray(fvec).reshape(B, n, n, -1)
@@ -467,10 +601,13 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
 class LyapunovsEstimator:
     """Benettin BLV/FLV estimator with the reference's class API.  Pass a
     ``mesh`` to shard the IC ensemble (and its tangent blocks) across
-    devices — the TPU-native replacement of the reference's worker pool."""
+    devices — the TPU-native replacement of the reference's worker pool.
+    ``precision='twofloat'`` runs the tangent propagation in double-float
+    (requires ``set_func`` with a tendency function from
+    ``create_tendencies``, which carries its tensors)."""
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
-                 number_of_dimensions=None, mesh=None):
+                 number_of_dimensions=None, mesh=None, precision=None):
         # partial tableaux are honored: missing coefficients fall back to
         # RK4, mirroring set_bca (ref ``qgs/toolbox/lyapunov.py:41-100``)
         self.tableau = merge_tableau(a, b, c)
@@ -480,10 +617,15 @@ class LyapunovsEstimator:
         self.ic = None
         self._result = None
         self.mesh = mesh
+        self.precision = precision
+        self._tensors = None
 
     def set_func(self, f, fjac):
         self.func = getattr(f, "batched", f)
         self.func_jac = getattr(fjac, "batched", fjac)
+        qgt = getattr(f, "qgtensor", None)
+        self._tensors = ((qgt.tensor, qgt.jacobian_tensor)
+                         if qgt is not None else None)
 
     def start(self):
         pass
@@ -509,12 +651,14 @@ class LyapunovsEstimator:
             self._result = compute_forward_lyapunovs(
                 self.func, self.func_jac, t0, tw, t, dt, mdt, ic, n_vec=n_vec,
                 write_steps=write_steps, adjoint=adjoint, inverse=inverse,
-                tableau=self.tableau, mesh=self.mesh)
+                tableau=self.tableau, mesh=self.mesh,
+                precision=self.precision, tensors=self._tensors)
         else:
             self._result = compute_backward_lyapunovs(
                 self.func, self.func_jac, t0, tw, t, dt, mdt, ic, n_vec=n_vec,
                 write_steps=write_steps, adjoint=adjoint, inverse=inverse,
-                tableau=self.tableau, mesh=self.mesh)
+                tableau=self.tableau, mesh=self.mesh,
+                precision=self.precision, tensors=self._tensors)
 
     def get_lyapunovs(self):
         """Return ``(times, trajectory, exponents, vectors)``."""
@@ -526,7 +670,8 @@ class CovariantLyapunovsEstimator:
     """CLV estimator (Ginelli method 0 / subspace method 1)."""
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
-                 number_of_dimensions=None, noise_pert=0.0, mesh=None):
+                 number_of_dimensions=None, noise_pert=0.0, mesh=None,
+                 precision=None):
         # see LyapunovsEstimator: partial tableaux merge with RK4 defaults
         self.tableau = merge_tableau(a, b, c)
         self.func = None
@@ -539,10 +684,15 @@ class CovariantLyapunovsEstimator:
         self._flvs = None
         self.method = 0
         self.mesh = mesh
+        self.precision = precision
+        self._tensors = None
 
     def set_func(self, f, fjac):
         self.func = getattr(f, "batched", f)
         self.func_jac = getattr(fjac, "batched", fjac)
+        qgt = getattr(f, "qgtensor", None)
+        self._tensors = ((qgt.tensor, qgt.jacobian_tensor)
+                         if qgt is not None else None)
 
     def start(self):
         pass
@@ -577,14 +727,16 @@ class CovariantLyapunovsEstimator:
             self._result = compute_clvs_ginelli(
                 self.func, self.func_jac, t0, ta, tb, tc, dt, mdt, ic,
                 n_vec=n_vec, write_steps=write_steps, tableau=self.tableau,
-                noise_pert=self.noise_pert, mesh=self.mesh)
+                noise_pert=self.noise_pert, mesh=self.mesh,
+                precision=self.precision, tensors=self._tensors)
             self._blvs = self._flvs = None
         else:
             out = compute_clvs_subspace(
                 self.func, self.func_jac, t0, ta, tb, tc, dt, mdt, ic,
                 write_steps=write_steps, tableau=self.tableau,
                 return_blvs=backward_vectors, return_flvs=forward_vectors,
-                mesh=self.mesh)
+                mesh=self.mesh, precision=self.precision,
+                tensors=self._tensors)
             self._result = out[:4]
             k = 4
             self._blvs = out[k] if backward_vectors else None

@@ -317,3 +317,89 @@ def test_qg_clv_cross_method():
     mg = np.sort(np.asarray(eg).mean(axis=-1))
     ms = np.sort(np.asarray(es).mean(axis=-1))
     assert np.allclose(mg[-2:], ms[-2:], atol=0.02), (mg[-2:], ms[-2:])
+
+
+def test_twofloat_toolbox_precision():
+    """Double-float Benettin tier on the QG model vs the f64 oracle (the
+    reference's other HOT path, ref ``qgs/toolbox/lyapunov.py:481-613``):
+    over spans short enough that chaotic trajectory divergence stays
+    bounded, the df-tier mean exponents must track f64 orders of magnitude
+    tighter than an all-f32 run (CPU backend strips the EFT barriers, so
+    the on-chip agreement is tighter still)."""
+    import jax.numpy as jnp
+    from qgs_tpu.params.params import QgParams
+    from qgs_tpu.models.tendencies import create_tendencies
+    from qgs_tpu.ops.contraction import make_tendency_fns
+
+    pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.3})
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.ground_params.set_orography(0.4, 1)
+    pars.atemperature_params.set_thetas(0.2, 0)
+    f, Df, T = create_tendencies(pars, return_qgtensor=True)
+    tensors = (T.tensor, T.jacobian_tensor)
+
+    rng = np.random.default_rng(0)
+    ic = rng.random((1, pars.ndim)) * 0.01
+    _, ic = integrate_runge_kutta(f.batched, 0., 3000., 0.1, ic, write_steps=0)
+    ic = np.atleast_2d(np.asarray(ic))
+
+    f32b, j32b = make_tendency_fns(T.tensor, T.jacobian_tensor,
+                                   dtype=jnp.float32)
+
+    args = (0., 10., 40., 0.1, 0.1)
+    _, _, e64, _ = compute_backward_lyapunovs(
+        f.batched, Df.batched, *args, ic, write_steps=1)
+    _, _, edf, _ = compute_backward_lyapunovs(
+        f.batched, Df.batched, *args, ic, write_steps=1,
+        precision='twofloat', tensors=tensors)
+    _, _, e32, _ = compute_backward_lyapunovs(
+        f32b, j32b, *args, np.asarray(ic, np.float32), write_steps=1)
+    m64 = np.asarray(e64).mean(-1)
+    mdf = np.asarray(edf).mean(-1)
+    m32 = np.asarray(e32, np.float64).mean(-1)
+    err_df = np.abs(m64 - mdf).max()
+    err_32 = np.abs(m64 - m32).max()
+    assert err_df < 5e-8, err_df                     # measured ~7e-9 on CPU
+    assert err_df < err_32 * 0.1, (err_df, err_32)   # measured ~100x tighter
+
+    # df exponents are float64 and the vectors orthonormal
+    assert np.asarray(edf).dtype == np.float64
+    _, _, _, vdf = compute_backward_lyapunovs(
+        f.batched, Df.batched, *args, ic, write_steps=0,
+        precision='twofloat', tensors=tensors)
+    v = np.asarray(vdf)
+    assert np.abs(v.T @ v - np.eye(pars.ndim)).max() < 1e-12
+
+    # forward + Ginelli df paths run and stay glued on short spans
+    _, _, fe64, _ = compute_forward_lyapunovs(
+        f.batched, Df.batched, 0., 30., 40., 0.1, 0.1, ic, write_steps=1)
+    _, _, fedf, _ = compute_forward_lyapunovs(
+        f.batched, Df.batched, 0., 30., 40., 0.1, 0.1, ic, write_steps=1,
+        precision='twofloat', tensors=tensors)
+    assert np.abs(np.asarray(fe64).mean(-1)
+                  - np.asarray(fedf).mean(-1)).max() < 1e-6
+
+    tg_, _, ge64, gv64 = compute_clvs_ginelli(
+        f.batched, Df.batched, 0., 10., 25., 40., 0.1, 0.1, ic, write_steps=1)
+    _, _, gedf, gvdf = compute_clvs_ginelli(
+        f.batched, Df.batched, 0., 10., 25., 40., 0.1, 0.1, ic, write_steps=1,
+        precision='twofloat', tensors=tensors)
+    assert np.abs(np.asarray(ge64).mean(-1)
+                  - np.asarray(gedf).mean(-1)).max() < 1e-6
+    align = np.abs(np.einsum('nvt,nvt->vt', np.asarray(gv64),
+                             np.asarray(gvdf)))
+    assert align.min() > 1 - 1e-8, align.min()
+
+    # estimator plumbing: precision='twofloat' through the class API
+    est = LyapunovsEstimator(precision='twofloat')
+    est.set_func(f, Df)
+    est.compute_lyapunovs(*args, ic, write_steps=1)
+    m_est = est.get_lyapunovs()[2].mean(-1)
+    assert np.allclose(m_est, mdf, atol=1e-12)
+
+    cest = CovariantLyapunovsEstimator(precision='twofloat')
+    cest.set_func(f, Df)
+    cest.compute_clvs(0., 10., 25., 40., 0.1, 0.1, ic, write_steps=5,
+                      method=1)
+    _, _, se, sv = cest.get_clvs()
+    assert np.isfinite(se).all() and np.isfinite(sv).all()

@@ -149,3 +149,114 @@ def test_pallas_kernel_matches_twofloat(maooam):
     # remain far below f32 accuracy.
     assert np.abs(np.asarray(df_to_f64((oh, ol)))
                   - np.asarray(df_to_f64(y))).max() < 1e-8
+
+
+def test_df_tangent_contraction_exact(maooam):
+    """The df tangent contraction must reproduce the dense f64 J(x) @ dm
+    product at (near-)machine level for a single evaluation — adjoint and
+    inverse variants included (ref ``qgs/integrators/integrate.py:227-231``)."""
+    from qgs_tpu.ops.twofloat import make_df_tangent_contraction
+
+    pars, f, tensor = maooam
+    from qgs_tpu.ops.contraction import make_tendency_fns
+    _, jac_b = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor)
+
+    rng = np.random.default_rng(6)
+    B, n = 4, pars.ndim
+    x = rng.random((B, n)) * 0.05
+    xx = np.concatenate([np.ones((B, 1)), x], axis=1)
+    dm = rng.standard_normal((B, n, n))
+    J = np.asarray(jac_b(0., jnp.asarray(x)))
+
+    for adjoint in (False, True):
+        for inverse in (False, True):
+            hom = make_df_tangent_contraction(tensor.jacobian_tensor,
+                                              adjoint=adjoint, inverse=inverse)
+            out = jax.jit(hom)(df_from_f64(jnp.asarray(xx)),
+                               df_from_f64(jnp.asarray(dm)))
+            got = np.asarray(df_to_f64(out))
+            sign = -1.0 if inverse else 1.0
+            if adjoint:
+                ref = sign * np.einsum('bnm,bnt->bmt', J, dm)
+            else:
+                ref = sign * np.einsum('bnm,bmt->bnt', J, dm)
+            err = np.abs(got - ref).max()
+            assert err < 1e-12, (adjoint, inverse, err)
+
+
+def test_df_tgls_integration(maooam):
+    """Fused df TGLS RK4 vs the f64 oracle over 100 steps: trajectory and
+    fundamental matrix must track far below f32 accuracy (CPU backend
+    strips the EFT barriers -> ~1e-9 absolute here; ~1e-13 on TPU)."""
+    from qgs_tpu.integrators.rk import (integrate_runge_kutta,
+                                        integrate_runge_kutta_tgls,
+                                        integrate_runge_kutta_tgls_df)
+
+    pars, f, tensor = maooam
+    from qgs_tpu.ops.contraction import make_tendency_fns
+    _, jac_b = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor)
+
+    rng = np.random.default_rng(7)
+    ic = rng.random((2, pars.ndim)) * 0.05
+    _, ic = integrate_runge_kutta(f.batched, 0., 200., 0.1, ic, write_steps=0)
+    ic = np.asarray(ic)
+    tg = np.eye(pars.ndim)
+
+    for adjoint in (False, True):
+        _, tr64, fm64 = integrate_runge_kutta_tgls(
+            f.batched, jac_b, 0., 10., 0.1, ic, tg, adjoint=adjoint,
+            write_steps=0)
+        _, trdf, fmdf = integrate_runge_kutta_tgls_df(
+            tensor.tensor, tensor.jacobian_tensor, 0., 10., 0.1, ic, tg,
+            adjoint=adjoint, write_steps=0)
+        e_tr = np.abs(np.asarray(tr64) - np.asarray(trdf)).max()
+        e_fm = np.abs(np.asarray(fm64) - np.asarray(fmdf)).max()
+        assert e_tr < 1e-7 and e_fm < 1e-6, (adjoint, e_tr, e_fm)
+
+    # f32 contrast on the same workload: the fundamental matrix drifts
+    # orders of magnitude more
+    f32b, j32b = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
+                                   dtype=jnp.float32)
+    _, tr32, fm32 = integrate_runge_kutta_tgls(
+        f32b, j32b, 0., 10., 0.1, np.asarray(ic, np.float32),
+        np.asarray(tg, np.float32), write_steps=0)
+    _, tr64, fm64 = integrate_runge_kutta_tgls(
+        f.batched, jac_b, 0., 10., 0.1, ic, tg, write_steps=0)
+    _, trdf, fmdf = integrate_runge_kutta_tgls_df(
+        tensor.tensor, tensor.jacobian_tensor, 0., 10., 0.1, ic, tg,
+        write_steps=0)
+    err32 = np.abs(np.asarray(fm32, np.float64) - np.asarray(fm64)).max()
+    errdf = np.abs(np.asarray(fmdf) - np.asarray(fm64)).max()
+    assert errdf < err32 * 1e-2, (errdf, err32)
+
+
+def test_df_tgls_integrator_class(maooam):
+    """RungeKuttaTglsIntegrator(precision='twofloat') end-to-end plumbing."""
+    from qgs_tpu.integrators.integrator import RungeKuttaTglsIntegrator
+    from qgs_tpu.integrators.rk import integrate_runge_kutta
+
+    pars, f, tensor = maooam
+    from qgs_tpu.models.tendencies import create_tendencies as _ct
+    rng = np.random.default_rng(8)
+    ic = rng.random((2, pars.ndim)) * 0.05
+    _, ic = integrate_runge_kutta(f.batched, 0., 100., 0.1, ic, write_steps=0)
+    ic = np.asarray(ic)
+
+    # needs Df too — rebuild from the same params to get both functions
+    integ = RungeKuttaTglsIntegrator(precision="twofloat")
+    from qgs_tpu.ops.contraction import make_tendency_fns
+    _, jac_b = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor)
+    fjac = jac_b
+    integ.set_func(f, fjac)
+    integ.integrate(0., 5., 0.1, ic=ic, tg_ic=np.eye(pars.ndim), write_steps=5)
+    t, traj, fmat = integ.get_trajectories()
+    assert np.isfinite(np.asarray(traj)).all()
+    assert np.isfinite(np.asarray(fmat)).all()
+    assert np.asarray(traj).dtype == np.float64
+
+    oracle = RungeKuttaTglsIntegrator()
+    oracle.set_func(f, fjac)
+    oracle.integrate(0., 5., 0.1, ic=ic, tg_ic=np.eye(pars.ndim), write_steps=5)
+    _, traj64, fmat64 = oracle.get_trajectories()
+    assert np.abs(np.asarray(traj) - np.asarray(traj64)).max() < 1e-7
+    assert np.abs(np.asarray(fmat) - np.asarray(fmat64)).max() < 1e-6
