@@ -25,6 +25,7 @@ pattern exists.
 
 from __future__ import annotations
 
+import os
 import signal
 import threading
 import warnings
@@ -101,16 +102,46 @@ class _IntegrationTimeout(Exception):
     """A single exact-SymPy integral exceeded the wall-clock budget."""
 
 
+def _pool_integrate(payload):
+    """One exact integral inside a pool worker process.
+
+    The per-integral timeout runs IN the worker via SIGALRM (each worker is
+    its own process's main thread, so the alarm interrupts the SymPy loop
+    cleanly); a timeout is reported back instead of raising so the parent
+    can apply its quadrature fallback — the same semantics as the
+    reference's pebble ProcessPool with per-task timeout (ref
+    ``qgs/inner_products/symbolic.py:1636-1697``)."""
+    import signal as _signal
+
+    defn, name, fns, timeout = payload
+    method = getattr(defn, name)
+    if timeout is not None:
+        def _alarm(signum, frame):
+            raise _IntegrationTimeout
+
+        _signal.signal(_signal.SIGALRM, _alarm)
+        _signal.setitimer(_signal.ITIMER_REAL, float(timeout))
+    try:
+        return True, method(*fns, symbolic_expr=False)
+    except _IntegrationTimeout:
+        return False, None
+    finally:
+        if timeout is not None:
+            _signal.setitimer(_signal.ITIMER_REAL, 0.0)
+
+
 class _SymbolicIPBase:
     """Shared engine setup for the symbolic inner-product classes."""
 
     def _setup_engine(self, n, inner_product_definition,
                       interaction_inner_product_definition, quadrature,
-                      return_symbolic, make_substitution, timeout=None):
+                      return_symbolic, make_substitution, timeout=None,
+                      num_threads=None):
         self.n = n
         self.quadrature = quadrature
         self.return_symbolic = return_symbolic
         self.timeout = timeout
+        self.num_threads = num_threads
         self.mk_subs = make_substitution if return_symbolic else True
         nsym = symbols('n', positive=True)
         self.subs = [(nsym, float(n))] if self.mk_subs else None
@@ -161,6 +192,42 @@ class _SymbolicIPBase:
         if self.return_symbolic:
             return res
         return float(res.subs(self.subs)) if self.subs else float(res)
+
+    def _exact_ip_batch(self, method, tasks):
+        """Evaluate a batch of exact integrals ``[self._exact_ip(method,
+        *fns) for fns in tasks]``, fanned out over a process pool when
+        ``self.num_threads > 1`` — the parallel counterpart of the
+        reference's pebble-pool setup compute (ref
+        ``qgs/inner_products/symbolic.py:26,1636-1697``).  Timed-out
+        integrals fall back to quadrature in the parent, exactly as the
+        serial path does."""
+        n_jobs = getattr(self, "num_threads", None) or 1
+        n_jobs = min(n_jobs, os.cpu_count() or 1)
+        if n_jobs <= 1 or len(tasks) < 2 * n_jobs:
+            return [self._exact_ip(method, *fns) for fns in tasks]
+
+        from concurrent.futures import ProcessPoolExecutor
+
+        defn, name = method.__self__, method.__name__
+        payloads = [(defn, name, fns, self.timeout) for fns in tasks]
+        out = []
+        with ProcessPoolExecutor(max_workers=n_jobs) as ex:
+            for (ok, res), fns in zip(ex.map(_pool_integrate, payloads,
+                                             chunksize=4), tasks):
+                if not ok:
+                    val = self._quadrature_fallback(method, fns)
+                    warnings.warn(
+                        f"exact SymPy integration ({name}) exceeded the "
+                        f"{self.timeout}s per-integral budget; fell back to "
+                        f"numerical quadrature (value {val:.6e})",
+                        stacklevel=3)
+                    out.append(Float(val) if self.return_symbolic else val)
+                elif self.return_symbolic:
+                    out.append(res)
+                else:
+                    out.append(float(res.subs(self.subs))
+                               if self.subs else float(res))
+        return out
 
     def _run_with_timeout(self, method, fns):
         """Run one exact integration, bounded by ``self.timeout`` seconds.
@@ -259,7 +326,8 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
 
         self._setup_engine(n, inner_product_definition,
                            interaction_inner_product_definition, quadrature,
-                           return_symbolic, make_substitution, timeout=timeout)
+                           return_symbolic, make_substitution, timeout=timeout,
+                           num_threads=num_threads)
         self.stored = stored
         if stored and self.atmospheric_basis is not None:
             self.compute_inner_products()
@@ -285,6 +353,8 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
     def compute_inner_products(self, num_threads=None, timeout=None):
         if timeout is not None:
             self.timeout = timeout
+        if num_threads is not None:
+            self.num_threads = num_threads
         if self.return_symbolic or not self.quadrature:
             self._compute_exact()
         else:
@@ -312,23 +382,17 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
             F = [f.subs(self.subs) for f in F] if not self.return_symbolic else F
 
         def fill2(method):
-            out = {}
-            for i in range(na):
-                for j in range(na):
-                    v = self._exact_ip(method, F[i], F[j])
-                    if v != 0:
-                        out[(i, j)] = v
-            return out
+            idx = [(i, j) for i in range(na) for j in range(na)]
+            vals = self._exact_ip_batch(method, [(F[i], F[j])
+                                                 for i, j in idx])
+            return {ij: v for ij, v in zip(idx, vals) if v != 0}
 
         def fill3(method):
-            out = {}
-            for i in range(na):
-                for j in range(na):
-                    for k in range(na):
-                        v = self._exact_ip(method, F[i], F[j], F[k])
-                        if v != 0:
-                            out[(i, j, k)] = v
-            return out
+            idx = [(i, j, k) for i in range(na) for j in range(na)
+                   for k in range(na)]
+            vals = self._exact_ip_batch(method, [(F[i], F[j], F[k])
+                                                 for i, j, k in idx])
+            return {ijk: v for ijk, v in zip(idx, vals) if v != 0}
 
         u = fill2(self.ip.symbolic_inner_product)
         a = fill2(self.ip.ip_lap)
@@ -361,13 +425,17 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
     def _exact_quartic(self, left, right, idx_list):
         entries = {}
         na = len(left)
+        tasks, keys = [], []
         for (j, k, l, m) in idx_list:
             prod = right[j] * right[k] * right[l] * right[m]
             for i in range(na):
-                v = self._exact_ip(self.ip.symbolic_inner_product, left[i], prod)
-                if v != 0:
-                    for perm in multiset_permutations([j, k, l, m]):
-                        entries[(i, *perm)] = v
+                tasks.append((left[i], prod))
+                keys.append((i, j, k, l, m))
+        vals = self._exact_ip_batch(self.ip.symbolic_inner_product, tasks)
+        for (i, j, k, l, m), v in zip(keys, vals):
+            if v != 0:
+                for perm in multiset_permutations([j, k, l, m]):
+                    entries[(i, *perm)] = v
         if self.return_symbolic:
             return ImmutableSparseNDimArray(entries, shape=(na,) + (len(right),) * 4)
         return COO.from_dict(entries, (na,) + (len(right),) * 4)
@@ -426,21 +494,23 @@ class AtmosphericSymbolicInnerProducts(AtmosphericInnerProducts, _SymbolicIPBase
         F = [self._F(i) for i in range(na)]
         P = list(basis.functions)
         s, d, ghd = {}, {}, {}
-        for i in range(na):
-            for j in range(nb):
-                v = self._exact_ip(self.iip.symbolic_inner_product, F[i], P[j])
-                if v != 0:
-                    s[(i, j)] = v
-                v = self._exact_ip(self.iip.ip_lap, F[i], P[j])
-                if v != 0:
-                    d[(i, j)] = v
+        idx = [(i, j) for i in range(na) for j in range(nb)]
+        tasks = [(F[i], P[j]) for i, j in idx]
+        for ij, v in zip(idx, self._exact_ip_batch(
+                self.iip.symbolic_inner_product, tasks)):
+            if v != 0:
+                s[ij] = v
+        for ij, v in zip(idx, self._exact_ip_batch(self.iip.ip_lap, tasks)):
+            if v != 0:
+                d[ij] = v
         if gh:
-            for i in range(na):
-                for j in range(na):
-                    for k in range(nb):
-                        v = self._exact_ip(self.iip.ip_jac, F[i], F[j], P[k])
-                        if v != 0:
-                            ghd[(i, j, k)] = v
+            idx3 = [(i, j, k) for i in range(na) for j in range(na)
+                    for k in range(nb)]
+            for ijk, v in zip(idx3, self._exact_ip_batch(
+                    self.iip.ip_jac,
+                    [(F[i], F[j], P[k]) for i, j, k in idx3])):
+                if v != 0:
+                    ghd[ijk] = v
         if self.return_symbolic:
             self._s = ImmutableSparseMatrix(na, nb, s)
             self._d = ImmutableSparseMatrix(na, nb, d)
@@ -532,7 +602,8 @@ class OceanicSymbolicInnerProducts(OceanicInnerProducts, _SymbolicIPBase):
 
         self._setup_engine(n, inner_product_definition,
                            interaction_inner_product_definition, quadrature,
-                           return_symbolic, make_substitution, timeout=timeout)
+                           return_symbolic, make_substitution, timeout=timeout,
+                           num_threads=num_threads)
         self.stored = stored
         if stored and self.oceanic_basis is not None:
             self.compute_inner_products()
@@ -568,13 +639,17 @@ class OceanicSymbolicInnerProducts(OceanicInnerProducts, _SymbolicIPBase):
         P = list(self.oceanic_basis.functions)
 
         def fill2(method):
-            return {(i, j): v for i in range(no) for j in range(no)
-                    if (v := self._exact_ip(method, P[i], P[j])) != 0}
+            idx = [(i, j) for i in range(no) for j in range(no)]
+            vals = self._exact_ip_batch(method, [(P[i], P[j])
+                                                 for i, j in idx])
+            return {ij: v for ij, v in zip(idx, vals) if v != 0}
 
         def fill3(method):
-            return {(i, j, k): v for i in range(no) for j in range(no)
-                    for k in range(no)
-                    if (v := self._exact_ip(method, P[i], P[j], P[k])) != 0}
+            idx = [(i, j, k) for i in range(no) for j in range(no)
+                   for k in range(no)]
+            vals = self._exact_ip_batch(method, [(P[i], P[j], P[k])
+                                                 for i, j, k in idx])
+            return {ijk: v for ijk, v in zip(idx, vals) if v != 0}
 
         U = fill2(self.ip.symbolic_inner_product)
         M = fill2(self.ip.ip_lap)
@@ -608,14 +683,16 @@ class OceanicSymbolicInnerProducts(OceanicInnerProducts, _SymbolicIPBase):
             P = list(self.oceanic_basis.functions)
             F = list(atmosphere_basis.functions)
             K, W = {}, {}
-            for i in range(no):
-                for j in range(na):
-                    v = self._exact_ip(self.iip.ip_lap, P[i], F[j])
-                    if v != 0:
-                        K[(i, j)] = v
-                    v = self._exact_ip(self.iip.symbolic_inner_product, P[i], F[j])
-                    if v != 0:
-                        W[(i, j)] = v
+            idx = [(i, j) for i in range(no) for j in range(na)]
+            tasks = [(P[i], F[j]) for i, j in idx]
+            for ij, v in zip(idx, self._exact_ip_batch(self.iip.ip_lap,
+                                                       tasks)):
+                if v != 0:
+                    K[ij] = v
+            for ij, v in zip(idx, self._exact_ip_batch(
+                    self.iip.symbolic_inner_product, tasks)):
+                if v != 0:
+                    W[ij] = v
             if self.return_symbolic:
                 self._K = ImmutableSparseMatrix(no, na, K)
                 self._W = ImmutableSparseMatrix(no, na, W)
@@ -642,13 +719,17 @@ class OceanicSymbolicInnerProducts(OceanicInnerProducts, _SymbolicIPBase):
     def _exact_quartic_oc(self, left, right, idx_list):
         entries = {}
         no = len(left)
+        tasks, keys = [], []
         for (j, k, l, m) in idx_list:
             prod = right[j] * right[k] * right[l] * right[m]
             for i in range(no):
-                v = self._exact_ip(self.ip.symbolic_inner_product, left[i], prod)
-                if v != 0:
-                    for perm in multiset_permutations([j, k, l, m]):
-                        entries[(i, *perm)] = v
+                tasks.append((left[i], prod))
+                keys.append((i, j, k, l, m))
+        vals = self._exact_ip_batch(self.ip.symbolic_inner_product, tasks)
+        for (i, j, k, l, m), v in zip(keys, vals):
+            if v != 0:
+                for perm in multiset_permutations([j, k, l, m]):
+                    entries[(i, *perm)] = v
         if self.return_symbolic:
             return ImmutableSparseNDimArray(entries, shape=(no,) + (len(right),) * 4)
         return COO.from_dict(entries, (no,) + (len(right),) * 4)
@@ -722,7 +803,8 @@ class GroundSymbolicInnerProducts(GroundInnerProducts, _SymbolicIPBase):
 
         self._setup_engine(n, inner_product_definition,
                            interaction_inner_product_definition, quadrature,
-                           return_symbolic, make_substitution, timeout=timeout)
+                           return_symbolic, make_substitution, timeout=timeout,
+                           num_threads=num_threads)
         self.stored = stored
         if stored and self.ground_basis is not None:
             self.compute_inner_products()

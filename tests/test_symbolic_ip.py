@@ -160,3 +160,26 @@ def test_exact_timeout_return_symbolic_degrades_to_float():
             assert v == 0 or isinstance(v, Float)
             np.testing.assert_allclose(float(v), float(exact._u[i, j]),
                                        rtol=1e-8, atol=1e-10)
+
+
+def test_exact_ip_process_pool_equivalence():
+    """The process-pool fan-out of the exact-SymPy engine (the counterpart
+    of the reference's pebble ProcessPool setup compute, ref
+    ``qgs/inner_products/symbolic.py:26,1636-1697``) must give bitwise the
+    same coefficients as the serial path."""
+    import numpy as np
+    from qgs_tpu.params.params import QgParams
+    from qgs_tpu.inner_products.symbolic import AtmosphericSymbolicInnerProducts
+
+    def build(num_threads):
+        pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.1})
+        pars.set_atmospheric_channel_fourier_modes(1, 1, mode='symbolic')
+        return AtmosphericSymbolicInnerProducts(pars, quadrature=False,
+                                                num_threads=num_threads)
+
+    serial = build(1)
+    pooled = build(2)
+    for name in ('_u', '_a', '_c', '_g', '_b'):
+        s = np.asarray(getattr(serial, name), float)
+        p = np.asarray(getattr(pooled, name), float)
+        assert np.array_equal(s, p), name

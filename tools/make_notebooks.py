@@ -94,6 +94,20 @@ CATALOG = {
         "Feeding the `f(t, x)` tendency contract to external ODE suites "
         "(scipy RK45 / LSODA) — counterpart of the reference's "
         "`diffeq_test` notebook (DifferentialEquations.jl via diffeqpy)."),
+    "clv_walkthrough.py": (
+        "clv_walkthrough.ipynb",
+        "Covariant Lyapunov vectors in depth: spectrum, state-dependent "
+        "local exponents, the leading CLV as a physical perturbation "
+        "pattern over the background flow, near-tangency statistics, and "
+        "a numerical check of the covariance property — counterpart of "
+        "the reference's `notebooks/lyapunov` deep dives."),
+    "auto_continuation.py": (
+        "auto_continuation.ipynb",
+        "AUTO-07p continuation export end to end: generate and inspect "
+        "the Fortran model file and the c.* constants file, then validate "
+        "the emitted equations against the numeric pipeline by exec-ing "
+        "the python target — counterpart of the reference's "
+        "`notebooks/symbolic_outputs` walkthrough."),
 }
 
 SHIM = re.compile(
