@@ -68,7 +68,10 @@ def sizing(ndim):
         return 4096, 2048, 2048, 256, 1000, 500
     if ndim <= 260:
         return 4096, 256, 1024, 128, 500, 100
-    return 4096, 128, None, None, 300, 30
+    # the rowsum path materializes (B, n1*R) gather intermediates — at
+    # ndim 420 / R~1000, B=4096 would need ~21 GB of HBM (device fault,
+    # observed); cap the batch instead
+    return 1024, 128, None, None, 300, 30
 
 
 def build(na, no):
@@ -110,6 +113,9 @@ def build_t4():
 
 
 def time_loop(run, y0, repeats=REPEATS):
+    """Times best-of-N chained runs; also sanity-checks the final state
+    (finite, and actually different from the input — guards against a
+    wedged executable returning instantly with untouched buffers)."""
     import jax
 
     y = run(y0)
@@ -120,6 +126,11 @@ def time_loop(run, y0, repeats=REPEATS):
         y = run(y)
         jax.block_until_ready(y)
         times.append(time.perf_counter() - t0)
+    yf = np.asarray(y)
+    if not np.isfinite(yf).all():
+        raise RuntimeError("non-finite state after benchmark run")
+    if np.array_equal(yf, np.asarray(y0)):
+        raise RuntimeError("state unchanged after benchmark run")
     return times
 
 
@@ -228,27 +239,39 @@ def main():
         rng = np.random.default_rng(0)
 
         if "coo" in paths:
-            run = make_xla_runner(tensor, "auto", jnp.float32, st_coo)
-            y0 = jnp.asarray(rng.random((B_coo, ndim)) * 0.01, jnp.float32)
-            times = time_loop(run, y0)
-            results.append(point(key, "coo", ndim, stats, B_coo, st_coo,
-                                 times, platform))
-            print(f"  coo   : {results[-1]['traj_steps_per_s']:14,.0f} "
-                  f"traj-steps/s", flush=True)
+            try:
+                run = make_xla_runner(tensor, "auto", jnp.float32, st_coo)
+                y0 = jnp.asarray(rng.random((B_coo, ndim)) * 0.01,
+                                 jnp.float32)
+                times = time_loop(run, y0)
+                results.append(point(key, "coo", ndim, stats, B_coo, st_coo,
+                                     times, platform))
+                print(f"  coo   : {results[-1]['traj_steps_per_s']:14,.0f} "
+                      f"traj-steps/s", flush=True)
+            except Exception as err:
+                results.append({"config": key, "path": "coo", "ndim": ndim,
+                                "error": str(err)[:300]})
+                print(f"  coo   : FAILED ({str(err)[:120]})", flush=True)
             flush()
 
         if "dense" in paths:
-            run = make_xla_runner(tensor, "dense", jnp.float32, st_dense)
-            y0 = jnp.asarray(rng.random((B_dense, ndim)) * 0.01, jnp.float32)
-            times = time_loop(run, y0)
-            results.append(point(key, "dense", ndim, stats, B_dense,
-                                 st_dense, times, platform))
-            p = results[-1]
-            mfu = p.get("mfu_vs_exact_f32_ceiling")
-            print(f"  dense : {p['traj_steps_per_s']:14,.0f} traj-steps/s"
-                  + (f"  ({p['achieved_tflops']:.1f} TF, "
-                     f"{mfu:.1%} of exact-f32 ceiling)" if mfu else ""),
-                  flush=True)
+            try:
+                run = make_xla_runner(tensor, "dense", jnp.float32, st_dense)
+                y0 = jnp.asarray(rng.random((B_dense, ndim)) * 0.01,
+                                 jnp.float32)
+                times = time_loop(run, y0)
+                results.append(point(key, "dense", ndim, stats, B_dense,
+                                     st_dense, times, platform))
+                p = results[-1]
+                mfu = p.get("mfu_vs_exact_f32_ceiling")
+                print(f"  dense : {p['traj_steps_per_s']:14,.0f} traj-steps/s"
+                      + (f"  ({p['achieved_tflops']:.1f} TF, "
+                         f"{mfu:.1%} of exact-f32 ceiling)" if mfu else ""),
+                      flush=True)
+            except Exception as err:
+                results.append({"config": key, "path": "dense", "ndim": ndim,
+                                "error": str(err)[:300]})
+                print(f"  dense : FAILED ({str(err)[:120]})", flush=True)
             flush()
 
         if "pallas" in paths and B_pal is not None and platform == "tpu":
@@ -270,20 +293,26 @@ def main():
             flush()
 
     if os.environ.get("QGS_RES_T4", "1") != "0":
-        t0 = time.time()
-        pars, tensor = build_t4()
-        stats = coo_stats(tensor)
-        stats["rank"] = int(tensor.tensor.rank)
-        print(f"[t4] ndim={pars.ndim} rank-5 nnz={stats['nnz']} "
-              f"(built in {time.time()-t0:.0f}s)", flush=True)
-        run = make_xla_runner(tensor, "auto", jnp.float32, 1000)
-        rng = np.random.default_rng(0)
-        y0 = jnp.asarray(rng.random((4096, pars.ndim)) * 0.01, jnp.float32)
-        times = time_loop(run, y0)
-        results.append(point("t4_2x2_2x4", "t4", pars.ndim, stats, 4096,
-                             1000, times, platform))
-        print(f"  t4    : {results[-1]['traj_steps_per_s']:14,.0f} "
-              f"traj-steps/s", flush=True)
+        try:
+            t0 = time.time()
+            pars, tensor = build_t4()
+            stats = coo_stats(tensor)
+            stats["rank"] = int(tensor.tensor.rank)
+            print(f"[t4] ndim={pars.ndim} rank-5 nnz={stats['nnz']} "
+                  f"(built in {time.time()-t0:.0f}s)", flush=True)
+            run = make_xla_runner(tensor, "auto", jnp.float32, 1000)
+            rng = np.random.default_rng(0)
+            y0 = jnp.asarray(rng.random((4096, pars.ndim)) * 0.01,
+                             jnp.float32)
+            times = time_loop(run, y0)
+            results.append(point("t4_2x2_2x4", "t4", pars.ndim, stats, 4096,
+                                 1000, times, platform))
+            print(f"  t4    : {results[-1]['traj_steps_per_s']:14,.0f} "
+                  f"traj-steps/s", flush=True)
+        except Exception as err:
+            results.append({"config": "t4_2x2_2x4", "path": "t4",
+                            "error": str(err)[:300]})
+            print(f"  t4    : FAILED ({str(err)[:120]})", flush=True)
 
     print(json.dumps(flush()))
 

@@ -126,8 +126,6 @@ def main_multiprocess():
     print("\nMulti-host weak scaling (2 pinned CPU processes, "
           "jax.distributed + Gloo): the ensemble hot loop is "
           "collective-free, so efficiency is compute-bound.")
-    assert eff >= 0.85, f"scaling efficiency {eff:.1%} below the 85% gate"
-    print(f"PASS: {eff:.1%} >= 85% (BASELINE.json multi-host gate)")
     print(json.dumps({
         "metric": "maooam_multiprocess_weak_scaling",
         "mode": "2 pinned CPU processes, jax.distributed + Gloo",
@@ -135,6 +133,8 @@ def main_multiprocess():
         "traj_steps_per_s": {"1": rate1, "2": rate2},
         "efficiency": eff, "gate": 0.85, "pass": bool(eff >= 0.85),
     }))
+    assert eff >= 0.85, f"scaling efficiency {eff:.1%} below the 85% gate"
+    print(f"PASS: {eff:.1%} >= 85% (BASELINE.json multi-host gate)")
     return eff
 
 

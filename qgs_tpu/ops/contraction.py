@@ -251,14 +251,24 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
     dtype = dtype or _default_dtype()
     rank = tensor.rank
     if mode == "auto":
-        # cost per tendency eval: dense einsum ~ B n^3 MACs; COO
-        # gather-scatter ~ 6 B nnz n (HIGHEST scatter matmul); row-grouped
-        # gather + VPU row-sum ~ B n1 R elementwise ops (R = max row nnz) —
-        # orders of magnitude less arithmetic whenever rows are reasonably
-        # balanced, so it is the default unless padding blows up
+        # cost per tendency eval: dense einsum ~ B n^3 MACs on the MXU;
+        # row-grouped gather + VPU row-sum ~ B n1 R gather-bound elements
+        # (R = max row nnz).  On TPU the MXU outruns the gather pipeline by
+        # ~2 orders of magnitude, so the dense path takes over once
+        # n1^2/R passes ~110 — measured crossover on v5e, RESOLUTION_r03:
+        # n1^2/R = 91 (MAOOAM 36-dim) -> rowsum 1.7x faster; 133 (ndim
+        # 104) -> dense 2.2x faster; 294 (ndim 400) -> dense 1.4x faster
+        # at 53% of the exact-f32 MXU ceiling.
         rows = np.bincount(np.asarray(tensor.coords[0]),
                            minlength=tensor.shape[0])
-        mode = "rowsum" if rows.max() <= 8 * max(rows.mean(), 1) else "coo"
+        n1 = tensor.shape[0]
+        R = max(int(rows.max()), 1)
+        if (rank == 3 and jax.default_backend() == "tpu"
+                and n1 * n1 > 110 * R and n1 <= 800):
+            # n1 <= 800 bounds the densified tensor at ~2 GB f32
+            mode = "dense"
+        else:
+            mode = "rowsum" if R <= 8 * max(rows.mean(), 1) else "coo"
 
     if mode == "dense" and rank == 3:
         quad = make_dense_quadratic(tensor, dtype, precision)
