@@ -87,12 +87,14 @@ def main():
         span = (0., dt, dt + windows * dt, dt, mdt)
         if tier == "f32":
             args = dict(f=f32b, fjac=j32b,
-                        ic=np.asarray(ic64[:B_t], np.float32))
+                        ic=np.asarray(ic64[:B_t], np.float32),
+                        tensors=tensors)
         elif tier == "twofloat":
             args = dict(f=f.batched, fjac=Df.batched, ic=ic64[:B_t],
                         precision="twofloat", tensors=tensors)
         else:
-            args = dict(f=f.batched, fjac=Df.batched, ic=ic64[:B_t])
+            args = dict(f=f.batched, fjac=Df.batched, ic=ic64[:B_t],
+                        tensors=tensors)
 
         def run():
             out = compute_backward_lyapunovs(

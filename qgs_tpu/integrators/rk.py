@@ -108,12 +108,17 @@ def make_rk_step(f, a, b, c, dtype=jnp.float64):
 
 
 def make_tgls_step(f, fjac, a, b, c, adjoint=False, inverse=False, boundary=None,
-                   dtype=jnp.float64):
+                   dtype=jnp.float64, tangent=None):
     """Single step of the coupled (trajectory, tangent) system.
 
     The tangent carries a fundamental-matrix block (B, ndim, n_tg) propagated
     with d(dx)/dt = +-J(x) dx (or J^T for the adjoint) plus an optional
     inhomogeneous boundary term Psi(t, x) (ref ``integrate.py:556-614``).
+
+    ``tangent``: optional direct contraction ``hom(xx, dm)`` over the
+    dummy-padded state (:func:`qgs_tpu.ops.contraction.make_direct_tangent`,
+    already carrying the adjoint/inverse transform) — avoids materializing
+    the Jacobian and the tiny per-member matmuls it implies.
     """
     s = len(b)
     a = np.asarray(a)
@@ -122,11 +127,15 @@ def make_tgls_step(f, fjac, a, b, c, adjoint=False, inverse=False, boundary=None
     sign = -1.0 if inverse else 1.0
 
     def tangent_rhs(t, y_s, dm):
-        J = fjac(t, y_s)                      # (B, n, n)
-        if adjoint:
-            hom = sign * jnp.einsum('bnm,bnt->bmt', J, dm)
+        if tangent is not None:
+            ones = jnp.ones(y_s.shape[:-1] + (1,), dtype=y_s.dtype)
+            hom = tangent(jnp.concatenate([ones, y_s], axis=-1), dm)
         else:
-            hom = sign * jnp.einsum('bnm,bmt->bnt', J, dm)
+            J = fjac(t, y_s)                  # (B, n, n)
+            if adjoint:
+                hom = sign * jnp.einsum('bnm,bnt->bmt', J, dm)
+            else:
+                hom = sign * jnp.einsum('bnm,bmt->bnt', J, dm)
         if boundary is not None:
             hom = hom + boundary(t, y_s)
         return hom

@@ -224,6 +224,62 @@ def make_coo_jacobian(jtensor: COO, dtype=None, precision=None):
     return jac
 
 
+def make_direct_tangent(jtensor: COO, dtype=None, precision=None,
+                        adjoint=False, inverse=False):
+    """Direct tangent-linear contraction ``hom(xx, dm) -> (B, n, n_tg)``:
+
+        hom[b, i, t] = sum_e val_e * (prod_a xx[b, coords[a, e]])
+                                   * dm[b, coords[1, e] - 1, t]
+
+    without materializing the Jacobian.  The J-then-multiply route costs a
+    batched (n, n) x (n, n_tg) matmul per member — tiny per-batch matmuls
+    that waste the MXU; here the per-entry products are flattened into ONE
+    (B*n_tg, nnz) x (nnz, n1) scatter matmul (measured ~3x on the on-chip
+    Benettin window at MAOOAM scale).  Same index conventions as the
+    double-float version (:func:`qgs_tpu.ops.twofloat.make_df_tangent_contraction`);
+    ``adjoint`` transposes and ``inverse`` negates on host, exactly.
+    ``dm`` carries no dummy row (its tangent is identically zero)."""
+    dtype = dtype or _default_dtype()
+    precision = _resolve_precision(precision)
+    n1 = jtensor.shape[0]
+    n = n1 - 1
+    coords = [np.asarray(c) for c in jtensor.coords]
+    data = np.asarray(jtensor.data)
+    if inverse:
+        data = -data
+    if adjoint:
+        coords[0], coords[1] = coords[1], coords[0]
+    keep = (coords[0] != 0) & (coords[1] != 0)
+    rows = coords[0][keep] - 1
+    dm_idx = jnp.asarray(coords[1][keep] - 1)
+    x_idxs = [jnp.asarray(c[keep]) for c in coords[2:]]
+    val = jnp.asarray(data[keep], dtype=dtype)
+    nnz = int(rows.size)
+    if nnz == 0:
+        def empty(xx, dm):
+            return jnp.zeros((xx.shape[0], n, dm.shape[-1]), dtype=dtype)
+
+        return empty
+
+    scatter = np.zeros((nnz, n), dtype=np.float64)
+    scatter[np.arange(nnz), rows] = 1.0
+    S = jnp.asarray(scatter, dtype=dtype)
+
+    def hom(xx, dm):
+        """xx: (B, n1) dummy-padded state; dm: (B, n, n_tg)."""
+        B, n_tg = xx.shape[0], dm.shape[-1]
+        coef = val[None, :]
+        for idx in x_idxs:
+            coef = coef * xx[:, idx]                       # (B, nnz)
+        prod = coef[:, :, None] * jnp.take(dm, dm_idx, axis=1)
+        # one flat scatter matmul: (B*n_tg, nnz) @ (nnz, n)
+        flat = prod.transpose(0, 2, 1).reshape(B * n_tg, nnz)
+        out = jnp.matmul(flat, S, precision=precision)
+        return out.reshape(B, n_tg, n).transpose(0, 2, 1)
+
+    return hom
+
+
 # ---------------------------------------------------------------------------
 # Tendency-function factories
 # ---------------------------------------------------------------------------

@@ -44,7 +44,8 @@ def _window_key(df_mode, f, fjac, tensors, dt, mdt, tableau, adjoint,
     tb = _tableau_key(*(tableau if tableau is not None else rk4_tableau()))
     if df_mode:
         return ('df', tensors[0], tensors[1], dt, mdt, adjoint, inverse)
-    return (f, fjac, dt, mdt, tb, adjoint, inverse)
+    tkey = tensors[1] if tensors is not None else None
+    return (f, fjac, tkey, dt, mdt, tb, adjoint, inverse)
 
 
 def _shard_ic(mesh, ic):
@@ -195,12 +196,16 @@ def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
 
 
 def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=False,
-                     backward=False, qr_method="auto"):
+                     backward=False, qr_method="auto", tangent=None):
     """One Benettin window: propagate (y, Q) over ``dt`` with tangent
     substeps ``mdt``, then QR-reorthonormalize (see :func:`batched_qr` for
     the TPU-native CholeskyQR2 re-orthonormalization).  Returns
     ``window((y, Q), tt) -> ((y', Q'), R)``.
 
+    ``tangent``: optional direct tangent contraction (see
+    :func:`qgs_tpu.ops.contraction.make_direct_tangent`) used instead of
+    the materialized-Jacobian route — the compute_* drivers build it when
+    the model's tensors are available.
     With ``backward=True`` the window integrates from ``tt`` down to
     ``tt - dt`` (used for the forward-Lyapunov-vector estimation)."""
     if tableau is None:
@@ -208,7 +213,8 @@ def make_window_step(f, fjac, dt, mdt, tableau=None, adjoint=False, inverse=Fals
     a, b, c = tableau
     n_sub = _n_sub(dt, mdt)
     h = -mdt if backward else mdt
-    step = make_tgls_step(f, fjac, a, b, c, adjoint=adjoint, inverse=inverse)
+    step = make_tgls_step(f, fjac, a, b, c, adjoint=adjoint, inverse=inverse,
+                          tangent=tangent)
 
     def window(carry, tt):
         def sub(carry2, k):
@@ -283,8 +289,14 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
             window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
                                          adjoint, inverse)
         else:
+            tangent = None
+            if tensors is not None:
+                from qgs_tpu.ops.contraction import make_direct_tangent
+                tangent = make_direct_tangent(tensors[1], dtype=ic.dtype,
+                                              adjoint=adjoint,
+                                              inverse=inverse)
             window = make_window_step(f, fjac, dt, mdt, tableau, adjoint,
-                                      inverse)
+                                      inverse, tangent=tangent)
 
         @jax.jit
         def run(y0, Q0, tts_pre, tts_rec):
@@ -314,7 +326,7 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
 
         return run
 
-    run = _scan_cache_get(('blv',) + wkey, build)
+    run = _scan_cache_get(('blv',) + wkey + (str(ic.dtype),), build)
     ys, Qs, exps = run(y0c, Q0c,
                        jnp.asarray(t0 + dt * np.arange(n_pre)),
                        jnp.asarray(tw + dt * np.arange(n_rec_w)))
@@ -383,8 +395,15 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
             fwd_df = make_df_rk4_step(tensors[0], mdt)
             fwd_sub = lambda y2, ts: fwd_df(y2)
         else:
+            tangent = None
+            if tensors is not None:
+                from qgs_tpu.ops.contraction import make_direct_tangent
+                tangent = make_direct_tangent(tensors[1], dtype=ic.dtype,
+                                              adjoint=adjoint,
+                                              inverse=inverse)
             window = make_window_step(f, fjac, dt, mdt, tableau, adjoint,
-                                      inverse, backward=True)
+                                      inverse, backward=True,
+                                      tangent=tangent)
             fwd_step = make_rk_step(f, a_t, b_t, c_t)
             fwd_sub = lambda y2, ts: fwd_step(
                 y2, ts, jnp.asarray(mdt, dtype=y2.dtype))
@@ -444,7 +463,7 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
 
         return run
 
-    run = _scan_cache_get(('flv',) + wkey, build)
+    run = _scan_cache_get(('flv',) + wkey + (str(ic.dtype),), build)
     ys, Qs, exps = run(y0c, Q0c,
                        jnp.asarray(t0 + dt * np.arange(n_rec_w + n_post)),
                        jnp.asarray(t - dt * np.arange(n_post)),
@@ -531,7 +550,12 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
         if df_mode:
             window = make_window_step_df(tensors[0], tensors[1], dt, mdt)
         else:
-            window = make_window_step(f, fjac, dt, mdt, tableau)
+            tangent = None
+            if tensors is not None:
+                from qgs_tpu.ops.contraction import make_direct_tangent
+                tangent = make_direct_tangent(tensors[1], dtype=ic.dtype)
+            window = make_window_step(f, fjac, dt, mdt, tableau,
+                                      tangent=tangent)
 
         @jax.jit
         def run(y0, Q0, A0, noise, tts_pre, tts_rec, tts_post):
@@ -594,7 +618,7 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
 
         return run
 
-    run = _scan_cache_get(('clv',) + wkey, build)
+    run = _scan_cache_get(('clv',) + wkey + (str(ic.dtype),), build)
     ys, clvs, exps = run(y0c, Q0c, A0, noise,
                          jnp.asarray(t0 + dt * np.arange(n_pre)),
                          jnp.asarray(ta + dt * np.arange(n_rec)),
