@@ -648,6 +648,81 @@ def make_df_tangent_contraction(jtensor: COO, adjoint=False, inverse=False,
     return hom
 
 
+def df_matmul(A, B, sloppy=True):
+    """Dense double-float matmul ``(…, m, k) @ (…, k, n) -> (…, m, n)``.
+
+    Expands the k products (df Dekker multiplies) and reduces them with the
+    pairwise double-float tree — O(m·k·n) VPU work with an (…, m, n, k)
+    temporary.  Built for the small (B, n, n) blocks of the Lyapunov
+    machinery, not for large matrices."""
+    mul = _sloppy_mul if sloppy else df_mul
+    Ah, Al = A[0][..., :, :, None], A[1][..., :, :, None]   # (…, m, k, 1)
+    Bh, Bl = B[0][..., None, :, :], B[1][..., None, :, :]   # (…, 1, k, n)
+    Ph, Pl = mul((Ah, Al), (Bh, Bl))                        # (…, m, k, n)
+    return _sloppy_reduce_last((jnp.swapaxes(Ph, -1, -2),
+                                jnp.swapaxes(Pl, -1, -2)))
+
+
+def _df_t(A):
+    return (jnp.swapaxes(A[0], -1, -2), jnp.swapaxes(A[1], -1, -2))
+
+
+def cholqr_df(M):
+    """Mixed-precision CholeskyQR of a double-float matrix stack
+    ``M (…, n, k)``: returns ``(Q_df, R64)`` with Q orthonormal to ~1e-14
+    and R (upper, float64 values) accurate to ~1e-14 relative — WITHOUT any
+    emulated-f64 arithmetic.  On v5e the emulated-f64 Householder QR this
+    replaces costs ~68 ms per MAOOAM Benettin window; this runs as df VPU
+    matmuls + f32 cholesky/triangular-solves.
+
+    Scheme: the Gram matrix G = M^T M is computed in double-float; its f32
+    Cholesky factor L is corrected to first order with
+    dL = L Phi(L^{-1} E L^{-T}), E = G - L L^T (Phi = strict lower + half
+    diagonal), giving R to ~eps32^2 — the Benettin exponents' source.
+    Q solves Q R = M by an f32 triangular solve plus ONE double-float
+    residual correction (dQ = (M - Q0 R) R^{-1}, the residual computed in
+    df, the correction solve in f32 — relative error eps32 of an
+    eps32-sized quantity): Q = M R^{-1} to ~eps32^2, which preserves the
+    *flag* (nested column spans) of the full double-float M — the quantity
+    the Benettin telescope is first-order sensitive to (feeding forward
+    the flag of M_hi alone costs ~1e-7 exponent error, measured) — and
+    makes Q orthonormal to ~eps32^2 automatically (Q^T Q = R^{-T} G R^{-1}
+    with R^T R = G to eps32^2).
+    Requires cond(M)^2 < 1/eps32 (QR-cadence windows satisfy this by
+    construction — cond grows like exp(spread * dt) per window)."""
+    # sloppy accumulation on TPU (barriers honored); strict on CPU, whose
+    # backend strips the EFT barriers (see make_df_quadratic)
+    sloppy = jax.default_backend() not in ("cpu",)
+    Mh, Ml = M
+    z = jnp.zeros_like
+    G = df_matmul(_df_t(M), M, sloppy=sloppy)
+    L = jnp.linalg.cholesky(G[0])
+    # E = G - L L^T in df (the L products are exact Dekker two-prods)
+    LLt = df_matmul((L, z(L)), (jnp.swapaxes(L, -1, -2), z(L)),
+                    sloppy=sloppy)
+    E = df_add(G, df_neg(LLt))
+    Eh = E[0] + E[1]                        # |E| ~ eps32 |G|: f32 suffices
+    X = jax.scipy.linalg.solve_triangular(L, Eh, lower=True)
+    X = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+        L, jnp.swapaxes(X, -1, -2), lower=True), -1, -2)
+    k = L.shape[-1]
+    eye = jnp.eye(k, dtype=L.dtype)
+    Phi = jnp.tril(X, -1) + 0.5 * X * eye
+    dL = jnp.matmul(L, Phi, precision=jax.lax.Precision.HIGHEST)
+    R64 = (jnp.swapaxes(L, -1, -2).astype(jnp.float64)
+           + jnp.swapaxes(dL, -1, -2).astype(jnp.float64))
+    R_df = (jnp.swapaxes(L, -1, -2), jnp.swapaxes(dL, -1, -2))
+    # Q R = M: f32 solve + one df residual correction
+    Q0 = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+        L, jnp.swapaxes(Mh, -1, -2), lower=True), -1, -2)
+    D = df_add(M, df_neg(df_matmul((Q0, z(Q0)), R_df, sloppy=sloppy)))
+    Dh = D[0] + D[1]                        # |D| ~ eps32 |M|
+    dQ = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+        L, jnp.swapaxes(Dh, -1, -2), lower=True), -1, -2)
+    Q = quick_two_sum(Q0, dQ)
+    return Q, R64
+
+
 def _df_tgls_rk4_core(tensor: COO, jtensor: COO, adjoint, inverse,
                       gather, accumulate):
     """Shared internals of the fused double-float TGLS RK4 step: returns

@@ -172,10 +172,19 @@ def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
     TPU is a small fraction of the window).  Carries are (hi, lo) pairs;
     returns the R factor in float64 for exact ``log|diag R|`` exponent
     accumulation — the precision-critical quantity of the Benettin
-    algorithm (ref ``qgs/toolbox/lyapunov.py:481-613``)."""
-    from qgs_tpu.ops.twofloat import (df_from_f64, df_to_f64,
+    algorithm (ref ``qgs/toolbox/lyapunov.py:481-613``).
+
+    ``qr_method='auto'`` picks the mixed-precision
+    :func:`~qgs_tpu.ops.twofloat.cholqr_df` on TPU — the emulated-f64
+    Householder QR costs ~68 ms per MAOOAM window there (the entire
+    window budget), vs ~1e-13-accurate df-matmul CholeskyQR at a few ms —
+    and the native-f64 Householder on CPU (fast and exact)."""
+    from qgs_tpu.ops.twofloat import (cholqr_df, df_from_f64, df_to_f64,
                                       make_df_tgls_rk4_step)
 
+    if qr_method == "auto":
+        qr_method = ("mixed" if jax.default_backend() == "tpu"
+                     else "householder")
     n_sub = _n_sub(dt, mdt)
     h = -mdt if backward else mdt
     step = make_df_tgls_rk4_step(tensor, jtensor, h, adjoint=adjoint,
@@ -189,6 +198,9 @@ def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
 
         carry2, _ = jax.lax.scan(sub, carry, None, length=n_sub)
         y2, M = carry2
+        if qr_method == "mixed":
+            Qd, R = cholqr_df(M)
+            return (y2, Qd), R
         Q64, R = batched_qr(df_to_f64(M), qr_method)
         return (y2, df_from_f64(Q64)), R
 

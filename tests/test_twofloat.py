@@ -260,3 +260,61 @@ def test_df_tgls_integrator_class(maooam):
     _, traj64, fmat64 = oracle.get_trajectories()
     assert np.abs(np.asarray(traj) - np.asarray(traj64)).max() < 1e-7
     assert np.abs(np.asarray(fmat) - np.asarray(fmat64)).max() < 1e-6
+
+
+def test_cholqr_df(maooam):
+    """Mixed-precision CholeskyQR for the double-float Benettin windows:
+    R and Q accurate to ~eps32^2 per factorization (unit check), and the
+    window pipeline's exponent stream must track the f64-Householder
+    reference (CPU strict-mode df carries ~1e-11/op barrier-stripping
+    noise, so the 400-window tolerance here is loose; on TPU the same
+    comparison sits at the df noise floor)."""
+    from qgs_tpu.ops.twofloat import cholqr_df
+    from qgs_tpu.toolbox.lyapunov import make_window_step_df
+    from qgs_tpu.integrators.rk import integrate_runge_kutta
+
+    rng = np.random.default_rng(0)
+    Qb = np.linalg.qr(rng.standard_normal((4, 20, 20)))[0]
+    M64 = Qb * np.exp(rng.standard_normal((4, 1, 20)) * 0.2)
+    Q, R64 = jax.jit(cholqr_df)(df_from_f64(jnp.asarray(M64)))
+    Q64 = np.asarray(df_to_f64(Q))
+    R = np.asarray(R64)
+    Qr, Rr = np.linalg.qr(M64)
+    dref = np.abs(np.diagonal(Rr, axis1=-2, axis2=-1))
+    dgot = np.abs(np.diagonal(R, axis1=-2, axis2=-1))
+    assert np.abs(dgot / dref - 1).max() < 1e-12
+    assert np.abs(np.einsum('bij,bik->bjk', Q64, Q64)
+                  - np.eye(20)).max() < 1e-12
+    assert (np.abs(np.einsum('bij,bjk->bik', Q64, R) - M64).max()
+            / np.abs(M64).max()) < 1e-12
+
+    pars, f, tensor = maooam
+    ic = rng.random((1, pars.ndim)) * 0.05
+    _, ic = integrate_runge_kutta(f.batched, 0., 200., 0.1, ic,
+                                  write_steps=0)
+    ic = np.atleast_2d(np.asarray(ic))
+    n = pars.ndim
+    Q0_np = np.linalg.qr(np.random.default_rng(1).random((n, n)))[0]
+
+    def run_variant(qr):
+        win = make_window_step_df(tensor.tensor, tensor.jacobian_tensor,
+                                  0.1, 0.1, qr_method=qr)
+
+        @jax.jit
+        def run(y0, Q0):
+            def body(carry, _):
+                (y, Q), R = win(carry, 0.0)
+                return (y, Q), jnp.log(jnp.abs(
+                    jnp.diagonal(R, axis1=-2, axis2=-1)))
+
+            _, logs = jax.lax.scan(body, (y0, Q0), None, length=200)
+            return logs
+
+        logs = np.asarray(run(
+            df_from_f64(jnp.asarray(ic)),
+            df_from_f64(jnp.asarray(
+                np.broadcast_to(Q0_np[None], (1, n, n)).copy()))))
+        return logs.mean(axis=0)[0] / 0.1
+
+    d = np.abs(run_variant("householder") - run_variant("mixed")).max()
+    assert d < 2e-8, d
