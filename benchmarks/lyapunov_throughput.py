@@ -131,6 +131,37 @@ def main():
               f"{windows_s:12,.0f} QR-windows/s x ensemble "
               f"({elapsed:.2f}s)", flush=True)
 
+    # Ginelli CLV tier (forward Benettin + backward triangular-solve pass)
+    if os.environ.get("QGS_LYAP_CLV", "1") != "0":
+        from qgs_tpu.toolbox.lyapunov import compute_clvs_ginelli
+
+        B_c = min(B, 64)
+        w_c = min(n_windows, 100)
+        span = (0., 5 * dt, 5 * dt + w_c * dt, 5 * dt + (w_c + 20) * dt,
+                dt, mdt)
+
+        def run_clv():
+            out = compute_clvs_ginelli(
+                f32b, j32b, *span, np.asarray(ic64[:B_c], np.float32),
+                write_steps=0, tensors=tensors)
+            jax.block_until_ready(out[3])
+            return out
+
+        run_clv()
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run_clv()
+            best = min(best or 9e9, time.perf_counter() - t0)
+        results["clv_ginelli_f32"] = {
+            "qr_windows_per_s_x_ensemble": w_c * B_c / best,
+            "ensemble": B_c, "windows": w_c,
+            "elapsed_s_best_of_3": best,
+        }
+        print(f"{'clv(gin)':>9}: B={B_c:4d} x {w_c} windows: "
+              f"{w_c * B_c / best:12,.0f} QR-windows/s x ensemble "
+              f"({best:.2f}s)", flush=True)
+
     accuracy = None
     if os.environ.get("QGS_LYAP_ACCURACY", "1") != "0":
         # identical-IC agreement over a short span (chaotic divergence

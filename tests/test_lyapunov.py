@@ -448,3 +448,41 @@ def test_batched_qr_cholqr2():
     sc = spectrum(win_c)
     sh = spectrum(win_h)
     assert np.allclose(sc, sh, atol=1e-6), (sc, sh)
+
+
+def test_toolbox_scan_cache_across_spans(attractor_ic):
+    """The compiled-pipeline cache (round-3: runners keyed on model/window
+    options with time grids as arguments) must serve DIFFERENT spans and
+    batch sizes correctly from one cached executable family — a wrong key
+    or a baked-in span would silently corrupt the second call."""
+    # same model, three different spans/batches, interleaved
+    t1 = compute_backward_lyapunovs(
+        f63, Df63, 0., 10., 30., 0.01, 0.01, attractor_ic[:1], write_steps=1)
+    t2 = compute_backward_lyapunovs(
+        f63, Df63, 0., 5., 45., 0.01, 0.01, attractor_ic, write_steps=1)
+    t1b = compute_backward_lyapunovs(
+        f63, Df63, 0., 10., 30., 0.01, 0.01, attractor_ic[:1], write_steps=1)
+    # repeat of the first call must be bitwise identical
+    assert np.array_equal(np.asarray(t1[2]), np.asarray(t1b[2]))
+    # shapes reflect the requested spans (2000/4000 windows + 1)
+    assert np.asarray(t1[2]).shape[-1] == 2001
+    assert np.asarray(t2[2]).shape[-1] == 4001
+    # both spans produce the right spectrum
+    assert np.allclose(np.asarray(t2[2]).mean(-1)[0], L63_SPECTRUM, atol=0.5)
+
+    # a DIFFERENT dt must not hit the first executable (different window)
+    t3 = compute_backward_lyapunovs(
+        f63, Df63, 0., 10., 30., 0.02, 0.01, attractor_ic[:1], write_steps=1)
+    assert np.asarray(t3[2]).shape[-1] == 1001
+    assert np.allclose(np.asarray(t3[2]).mean(-1), L63_SPECTRUM, atol=0.6)
+
+    # ginelli: two spans from the cached pipeline
+    g1 = compute_clvs_ginelli(
+        f63, Df63, 0., 10., 20., 30., 0.01, 0.01, attractor_ic[:1],
+        write_steps=1)
+    g2 = compute_clvs_ginelli(
+        f63, Df63, 0., 20., 40., 55., 0.01, 0.01, attractor_ic[:1],
+        write_steps=1)
+    assert np.asarray(g1[3]).shape[-1] == 1001
+    assert np.asarray(g2[3]).shape[-1] == 2001
+    assert np.isfinite(np.asarray(g2[2])).all()

@@ -111,3 +111,26 @@ def test_dynamic_t_analytic_ips_rejected():
     pars.set_params({'kd': 0.04, 'kdp': 0.04, 'n': 1.5})
     with pytest.raises(ValueError, match="symbolic"):
         create_tendencies(pars)
+
+
+def test_t4_direct_tangent(t4_system):
+    """The direct tangent contraction must handle rank-5 Jacobian tensors
+    (multiple trailing state gathers) — the path the Lyapunov toolbox uses
+    for dynamic-T/T4 models."""
+    import jax.numpy as jnp
+    from qgs_tpu.ops.contraction import make_direct_tangent
+
+    pars, aip, oip, tensor = t4_system
+    _, jac_b = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor)
+
+    rng = np.random.default_rng(3)
+    B, n = 3, pars.ndim
+    x = rng.random((B, n)) * 0.05
+    xx = np.concatenate([np.ones((B, 1)), x], axis=1)
+    dm = rng.standard_normal((B, n, 5))
+
+    hom = make_direct_tangent(tensor.jacobian_tensor)
+    got = np.asarray(hom(jnp.asarray(xx), jnp.asarray(dm)))
+    J = np.asarray(jac_b(0., jnp.asarray(x)))
+    ref = np.einsum('bnm,bmt->bnt', J, dm)
+    assert np.abs(got - ref).max() < 1e-11, np.abs(got - ref).max()
