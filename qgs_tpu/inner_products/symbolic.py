@@ -208,6 +208,13 @@ class _SymbolicIPBase:
 
         from concurrent.futures import ProcessPoolExecutor
 
+        # NOTE: the pool uses the platform-default start method (fork on
+        # Linux): the children inherit the parent's state and run pure
+        # SymPy/CPython work, matching the reference's pebble fork pool.
+        # spawn would be thread-safer in principle, but on this image every
+        # spawned child re-runs the site hook that initializes a JAX/axon
+        # client at interpreter start — far worse than the (unobserved)
+        # fork-with-threads hazard for these CPU-only integrals.
         defn, name = method.__self__, method.__name__
         payloads = [(defn, name, fns, self.timeout) for fns in tasks]
         out = []

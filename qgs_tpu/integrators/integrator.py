@@ -100,6 +100,22 @@ class RungeKuttaIntegrator:
 
     stop = terminate
 
+    def _check_twofloat(self, boundary=None):
+        """Shared twofloat-tier preconditions (tensor-carrying tendency
+        function, default RK4 tableau, no boundary term)."""
+        if self._qgtensor is None:
+            raise RuntimeError(
+                "precision='twofloat' needs a tendency function from "
+                "create_tendencies (carrying its .qgtensor)")
+        if boundary is not None:
+            raise ValueError("precision='twofloat' does not support a "
+                             "boundary term")
+        a_ref, b_ref, c_ref = rk4_tableau()
+        if not (np.allclose(self.a, a_ref) and np.allclose(self.b, b_ref)
+                and np.allclose(self.c, c_ref)):
+            raise ValueError("precision='twofloat' supports the default "
+                             "RK4 tableau only")
+
     # -- attractor initialization ------------------------------------------
 
     def initialize(self, convergence_time, dt, pert_size=0.01,
@@ -165,15 +181,7 @@ class RungeKuttaIntegrator:
             ic_dev, n_orig = jnp.asarray(ic2), ic2.shape[0]
 
         if self.precision == "twofloat":
-            if self._qgtensor is None:
-                raise RuntimeError(
-                    "precision='twofloat' needs a tendency function from "
-                    "create_tendencies (carrying its .qgtensor)")
-            a_ref, b_ref, c_ref = rk4_tableau()
-            if not (np.allclose(self.a, a_ref) and np.allclose(self.b, b_ref)
-                    and np.allclose(self.c, c_ref)):
-                raise ValueError("precision='twofloat' supports the default "
-                                 "RK4 tableau only")
+            self._check_twofloat()
             time, traj = integrate_runge_kutta_df(
                 self._qgtensor.tensor, t0, t, dt, ic_dev, forward=forward,
                 write_steps=write_steps, squeeze=False)
@@ -219,20 +227,6 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
             self.func_jac = _batched(fjac)
         if ic_init:
             self.ic = None
-
-    def _check_twofloat(self, boundary):
-        if self._qgtensor is None:
-            raise RuntimeError(
-                "precision='twofloat' needs a tendency function from "
-                "create_tendencies (carrying its .qgtensor)")
-        if boundary is not None:
-            raise ValueError("precision='twofloat' does not support a "
-                             "boundary term")
-        a_ref, b_ref, c_ref = rk4_tableau()
-        if not (np.allclose(self.a, a_ref) and np.allclose(self.b, b_ref)
-                and np.allclose(self.c, c_ref)):
-            raise ValueError("precision='twofloat' supports the default "
-                             "RK4 tableau only")
 
     def integrate(self, t0, t, dt, ic=None, tg_ic=None, forward=True,
                   adjoint=False, inverse=False, boundary=None, write_steps=1):

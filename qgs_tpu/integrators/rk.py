@@ -377,6 +377,24 @@ def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
     return time[-1], traj[..., -1]
 
 
+def _normalize_tg_ic(tg_ic, B, n, dtype=None):
+    """Bring a tangent IC into the canonical (B, n, n_tg) block shape:
+    1-D = one perturbation broadcast over the batch; 2-D = per-trajectory
+    vectors when shaped (B, n), else an (n_tg, n) matrix shared across the
+    batch; 3-D with a transposed middle axis is swapped."""
+    tg = jnp.asarray(tg_ic) if dtype is None else jnp.asarray(tg_ic, dtype)
+    if tg.ndim == 1:
+        tg = jnp.broadcast_to(tg[None, :, None], (B, n, 1))
+    elif tg.ndim == 2:
+        if tg.shape[0] == B and tg.shape[1] == n:
+            tg = tg[:, :, None]
+        else:   # (n_tg, ndim) matrix shared across the batch
+            tg = jnp.broadcast_to(tg.T[None, :, :], (B, n, tg.shape[0]))
+    elif tg.ndim == 3 and tg.shape[1] != n:
+        tg = jnp.swapaxes(tg, 1, 2)
+    return tg
+
+
 def _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint, inverse,
                       gather, accumulate):
     key = (tensor, jtensor, write_steps, adjoint, inverse, gather,
@@ -411,16 +429,7 @@ def integrate_runge_kutta_tgls_df(tensor, jtensor, t0, t, dt, ic, tg_ic,
 
     ic = jnp.atleast_2d(jnp.asarray(ic, jnp.float64))
     B, n = ic.shape
-    tg = jnp.asarray(tg_ic, jnp.float64)
-    if tg.ndim == 1:
-        tg = jnp.broadcast_to(tg[None, :, None], (B, n, 1))
-    elif tg.ndim == 2:
-        if tg.shape[0] == B and tg.shape[1] == n:
-            tg = tg[:, :, None]
-        else:   # (n_tg, ndim) matrix shared across the batch
-            tg = jnp.broadcast_to(tg.T[None, :, :], (B, n, tg.shape[0]))
-    elif tg.ndim == 3 and tg.shape[1] != n:
-        tg = jnp.swapaxes(tg, 1, 2)
+    tg = _normalize_tg_ic(tg_ic, B, n, jnp.float64)
 
     n_orig = B
     if mesh is not None and mesh.devices.size > 1 and B >= mesh.devices.size:
@@ -465,16 +474,7 @@ def integrate_runge_kutta_tgls(f, fjac, t0, t, dt, ic, tg_ic, forward=True,
     """
     ic = jnp.atleast_2d(jnp.asarray(ic))
     B, n = ic.shape
-    tg = jnp.asarray(tg_ic)
-    if tg.ndim == 1:
-        tg = jnp.broadcast_to(tg[None, :, None], (B, n, 1))
-    elif tg.ndim == 2:
-        if tg.shape[0] == B and tg.shape[1] == n:
-            tg = tg[:, :, None]
-        else:   # (n_tg, ndim) matrix shared across the batch
-            tg = jnp.broadcast_to(tg.T[None, :, :], (B, n, tg.shape[0]))
-    elif tg.ndim == 3 and tg.shape[1] != n:
-        tg = jnp.swapaxes(tg, 1, 2)
+    tg = _normalize_tg_ic(tg_ic, B, n)
 
     n_orig = B
     if mesh is not None and mesh.devices.size > 1 and B >= mesh.devices.size:

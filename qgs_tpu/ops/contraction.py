@@ -320,8 +320,12 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
         n1 = tensor.shape[0]
         R = max(int(rows.max()), 1)
         if (rank == 3 and jax.default_backend() == "tpu"
+                and dtype == jnp.float32
                 and n1 * n1 > 110 * R and n1 <= 800):
-            # n1 <= 800 bounds the densified tensor at ~2 GB f32
+            # n1 <= 800 bounds the densified tensor at ~2 GB f32; the
+            # crossover is measured for f32-HIGHEST matmuls only — f64 on
+            # TPU is XLA-emulated, where O(n1^3) dense MACs would be far
+            # slower than the gather path
             mode = "dense"
         else:
             mode = "rowsum" if R <= 8 * max(rows.mean(), 1) else "coo"

@@ -656,11 +656,12 @@ def df_matmul(A, B, sloppy=True):
     temporary.  Built for the small (B, n, n) blocks of the Lyapunov
     machinery, not for large matrices."""
     mul = _sloppy_mul if sloppy else df_mul
+    reduce_last = _sloppy_reduce_last if sloppy else df_reduce_last
     Ah, Al = A[0][..., :, :, None], A[1][..., :, :, None]   # (…, m, k, 1)
     Bh, Bl = B[0][..., None, :, :], B[1][..., None, :, :]   # (…, 1, k, n)
     Ph, Pl = mul((Ah, Al), (Bh, Bl))                        # (…, m, k, n)
-    return _sloppy_reduce_last((jnp.swapaxes(Ph, -1, -2),
-                                jnp.swapaxes(Pl, -1, -2)))
+    return reduce_last((jnp.swapaxes(Ph, -1, -2),
+                        jnp.swapaxes(Pl, -1, -2)))
 
 
 def _df_t(A):

@@ -80,7 +80,12 @@ def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None,
         local = jax.lax.dynamic_slice(outer_pad, (jnp.int32(0), lo),
                                       (B, T_local.shape[0]))
         # HIGHEST: the TPU f32 matmul default is one bf16 pass (~2e-3 rel)
-        if overlap_chunks > 1 and B % overlap_chunks == 0:
+        if overlap_chunks > 1:
+            if B % overlap_chunks != 0:
+                raise ValueError(
+                    f"overlap_chunks={overlap_chunks} must divide the "
+                    f"per-device batch ({B}) — refusing to silently fall "
+                    f"back to the unchunked program")
             c = B // overlap_chunks
             parts = [jax.lax.psum(
                 jnp.matmul(local[k * c:(k + 1) * c], T_local,

@@ -701,7 +701,11 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
                                      full_matrices=False)
             return u[..., 0]                                  # (B, T, n)
 
-        us = jax.vmap(leading_u)(rows)                        # (n, B, T, n)
+        # lax.map (one compiled SVD program, sequential over j) instead of
+        # vmap: program count stays O(1) in ndim while peak memory stays
+        # O(B T n^2) — a vmapped stack would materialize the full
+        # (n, B, T, n, n) masked-Gram tensor (~n x the old per-j loop)
+        us = jax.lax.map(leading_u, rows)                     # (n, B, T, n)
         # u_j is zero beyond index j, so contracting the FULL BLV basis
         # reproduces the per-j truncated contraction exactly
         return jnp.einsum('btnv,jbtv->btnj', Bfull, us)
@@ -768,9 +772,14 @@ class LyapunovsEstimator:
     def set_func(self, f, fjac):
         self.func = getattr(f, "batched", f)
         self.func_jac = getattr(fjac, "batched", fjac)
+        # capture the model tensors (for the direct tangent path and the
+        # twofloat tier) only when fjac is the tensor-derived Jacobian of
+        # the SAME model — a user-supplied custom fjac must stay honored
         qgt = getattr(f, "qgtensor", None)
-        self._tensors = ((qgt.tensor, qgt.jacobian_tensor)
-                         if qgt is not None else None)
+        if qgt is not None and getattr(fjac, "qgtensor", None) is qgt:
+            self._tensors = (qgt.tensor, qgt.jacobian_tensor)
+        else:
+            self._tensors = None
 
     def start(self):
         pass
@@ -835,9 +844,14 @@ class CovariantLyapunovsEstimator:
     def set_func(self, f, fjac):
         self.func = getattr(f, "batched", f)
         self.func_jac = getattr(fjac, "batched", fjac)
+        # capture the model tensors (for the direct tangent path and the
+        # twofloat tier) only when fjac is the tensor-derived Jacobian of
+        # the SAME model — a user-supplied custom fjac must stay honored
         qgt = getattr(f, "qgtensor", None)
-        self._tensors = ((qgt.tensor, qgt.jacobian_tensor)
-                         if qgt is not None else None)
+        if qgt is not None and getattr(fjac, "qgtensor", None) is qgt:
+            self._tensors = (qgt.tensor, qgt.jacobian_tensor)
+        else:
+            self._tensors = None
 
     def start(self):
         pass

@@ -486,3 +486,49 @@ def test_toolbox_scan_cache_across_spans(attractor_ic):
     assert np.asarray(g1[3]).shape[-1] == 1001
     assert np.asarray(g2[3]).shape[-1] == 2001
     assert np.isfinite(np.asarray(g2[2])).all()
+
+
+def test_estimator_honors_custom_fjac():
+    """Round-3 review: set_func auto-captures f.qgtensor for the direct
+    tangent path — but a user-supplied custom Jacobian function must stay
+    honored (the tensors are only used when fjac is the tensor-derived
+    Jacobian of the same model)."""
+    import jax.numpy as jnp
+    from qgs_tpu.params.params import QgParams
+    from qgs_tpu.models.tendencies import create_tendencies
+
+    pars = QgParams({'phi0_npi': np.deg2rad(50.) / np.pi, 'hd': 0.3})
+    pars.set_atmospheric_channel_fourier_modes(2, 2)
+    pars.ground_params.set_orography(0.4, 1)
+    pars.atemperature_params.set_thetas(0.2, 0)
+    f, Df = create_tendencies(pars)
+
+    rng = np.random.default_rng(0)
+    ic = rng.random((1, pars.ndim)) * 0.01
+    _, ic = integrate_runge_kutta(f.batched, 0., 2000., 0.1, ic,
+                                  write_steps=0)
+    ic = np.atleast_2d(np.asarray(ic))
+
+    def scaled_fjac(t, x):         # a deliberately modified Jacobian
+        return 0.5 * Df.batched(t, x)
+
+    est_mod = LyapunovsEstimator()
+    est_mod.set_func(f, scaled_fjac)
+    assert est_mod._tensors is None          # custom fjac -> no tensor path
+    est_mod.compute_lyapunovs(0., 5., 15., 0.1, 0.1, ic, write_steps=1)
+    m_mod = est_mod.get_lyapunovs()[2].mean(-1)
+
+    est_std = LyapunovsEstimator()
+    est_std.set_func(f, Df)
+    assert est_std._tensors is not None      # matching pair -> fast path
+    est_std.compute_lyapunovs(0., 5., 15., 0.1, 0.1, ic, write_steps=1)
+    m_std = est_std.get_lyapunovs()[2].mean(-1)
+
+    # the estimator's result must equal the functional path run with the
+    # SAME custom fjac (and no tensors) — and differ from the model's own
+    # Jacobian result
+    _, _, e_ref, _ = compute_backward_lyapunovs(
+        f.batched, scaled_fjac, 0., 5., 15., 0.1, 0.1, ic, write_steps=1)
+    assert np.array_equal(np.asarray(est_mod.get_lyapunovs()[2]),
+                          np.asarray(e_ref))
+    assert not np.allclose(m_mod, m_std, atol=1e-4), (m_mod, m_std)
