@@ -69,3 +69,29 @@ results['twofloat'] = (N * B / (time.perf_counter() - t0), errdf)
 print(f"{'tier':<10} {'traj-steps/s':>15} {'max err vs f64 after 200 steps':>32}")
 for k, (rate, err) in results.items():
     print(f"{k:<10} {rate:>15,.0f} {err:>32.3e}")
+
+
+# The same tiers exist for the OTHER hot path: tangent-linear propagation
+# and the Lyapunov toolbox.  precision='twofloat' runs the Benettin
+# machinery with double-float tangent propagation and a mixed-precision
+# CholeskyQR (no emulated f64 anywhere on TPU): exponents track the f64
+# oracle to ~3e-13 on chip, where plain f32 drifts at ~1e-5 — at a
+# fraction of emulated-f64 cost.
+from qgs_tpu.toolbox.lyapunov import LyapunovsEstimator
+
+ic = np.asarray(df_to_f64(ydf))[:1]
+
+est64 = LyapunovsEstimator()
+est64.set_func(f, Df)
+est64.compute_lyapunovs(0., 10., 40., 0.1, 0.1, ic, write_steps=1)
+m64 = est64.get_lyapunovs()[2].mean(-1)
+
+estdf = LyapunovsEstimator(precision='twofloat')
+estdf.set_func(f, Df)
+estdf.compute_lyapunovs(0., 10., 40., 0.1, 0.1, ic, write_steps=1)
+mdf = estdf.get_lyapunovs()[2].mean(-1)
+
+print("\nLyapunov spectrum, f64 vs twofloat tier (leading 5):")
+print("  f64     :", np.array2string(m64[:5], precision=6))
+print("  twofloat:", np.array2string(mdf[:5], precision=6))
+print(f"  max |diff| = {np.abs(m64 - mdf).max():.2e}")
