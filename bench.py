@@ -295,6 +295,18 @@ def main():
             f"(median {median:,.0f}; {value / baseline:.1f}x frozen "
             f"baseline, B={ens})")
 
+    if "float64" in tier_results:
+        # steer f64 users toward the designed answer: v5e has no native
+        # f64 (XLA emulates it ~60x slower), while the double-float tier
+        # matches f64 trajectories to ~1e-13 at near-f32 throughput and
+        # now supports every explicit tableau and the rank-5 T4 models
+        note = ("float64 on TPU v5e is XLA-emulated (~60x slower than "
+                "f32); precision='twofloat' gives ~1e-13 trajectory "
+                "accuracy at ~30x the f64 throughput — prefer it unless "
+                "bit-exact IEEE f64 is required")
+        tier_results["float64"]["note"] = note
+        log(f"note: {note}")
+
     headline = tier_results[HEADLINE if HEADLINE in tier_results else tiers[0]]
 
     # FLOP utilization, from the f32 kernel's scatter-matmul work (see

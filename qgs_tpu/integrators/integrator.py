@@ -102,19 +102,19 @@ class RungeKuttaIntegrator:
 
     def _check_twofloat(self, boundary=None):
         """Shared twofloat-tier preconditions (tensor-carrying tendency
-        function, default RK4 tableau, no boundary term)."""
+        function, no boundary term).  Any *explicit* Butcher tableau is
+        supported (validated by the double-float step builders); the
+        default RK4 tableau uses the hand-fused fast path."""
         if self._qgtensor is None:
             raise RuntimeError(
                 "precision='twofloat' needs a tendency function from "
-                "create_tendencies (carrying its .qgtensor)")
+                "create_tendencies (carrying its .qgtensor), and — for the "
+                "TGLS integrator — a Jacobian derived from the SAME model "
+                "(a custom fjac would be silently ignored by the fused "
+                "double-float step)")
         if boundary is not None:
             raise ValueError("precision='twofloat' does not support a "
                              "boundary term")
-        a_ref, b_ref, c_ref = rk4_tableau()
-        if not (np.allclose(self.a, a_ref) and np.allclose(self.b, b_ref)
-                and np.allclose(self.c, c_ref)):
-            raise ValueError("precision='twofloat' supports the default "
-                             "RK4 tableau only")
 
     # -- attractor initialization ------------------------------------------
 
@@ -184,7 +184,8 @@ class RungeKuttaIntegrator:
             self._check_twofloat()
             time, traj = integrate_runge_kutta_df(
                 self._qgtensor.tensor, t0, t, dt, ic_dev, forward=forward,
-                write_steps=write_steps, squeeze=False)
+                write_steps=write_steps, squeeze=False,
+                a=self.a, b=self.b, c=self.c)
         else:
             time, traj = integrate_runge_kutta(self.func, t0, t, dt, ic_dev,
                                                forward=forward, write_steps=write_steps,
@@ -222,9 +223,17 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
 
     def set_func(self, f, fjac=None, ic_init=True):
         self.func = _batched(f)
-        self._qgtensor = getattr(f, "qgtensor", None)
+        qgt = getattr(f, "qgtensor", None)
         if fjac is not None:
             self.func_jac = _batched(fjac)
+            # keep the model tensors (fused twofloat path) only when fjac
+            # is the tensor-derived Jacobian of the SAME model: the fused
+            # step contracts f.qgtensor.jacobian_tensor, so a custom fjac
+            # would be silently ignored — _check_twofloat raises instead
+            # (the estimator classes apply the same guard)
+            if qgt is not None and getattr(fjac, "qgtensor", None) is not qgt:
+                qgt = None
+        self._qgtensor = qgt
         if ic_init:
             self.ic = None
 
@@ -247,7 +256,7 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
                 self._qgtensor.tensor, self._qgtensor.jacobian_tensor,
                 t0, t, dt, jnp.asarray(ic2), tg_ic, forward=forward,
                 adjoint=adjoint, inverse=inverse, write_steps=write_steps,
-                mesh=self.mesh)
+                mesh=self.mesh, a=self.a, b=self.b, c=self.c)
         else:
             time, traj, fmat = integrate_runge_kutta_tgls(
                 self.func, self.func_jac, t0, t, dt, jnp.asarray(ic2), tg_ic,

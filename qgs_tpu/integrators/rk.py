@@ -243,26 +243,76 @@ def _tableau_key(a, b, c):
     return (np.asarray(a).tobytes(), np.asarray(b).tobytes(), np.asarray(c).tobytes())
 
 
+def _operand_form(fn):
+    """``(apply, key)`` of an operand-threading contraction (see
+    :class:`qgs_tpu.ops.contraction.Contraction`), or ``(None, None)`` for a
+    plain callable."""
+    apply = getattr(fn, "apply", None)
+    key = getattr(fn, "key", None)
+    if apply is None or key is None:
+        return None, None
+    return apply, key
+
+
 def _get_plain_scan(f, a, b, c, write_steps):
-    key = (f, _tableau_key(a, b, c), write_steps, 'plain')
+    apply, fkey = _operand_form(f)
+    # operand-threading functions are cached by their *structural* key, so
+    # every same-shape model (new parameter values, same resolution) reuses
+    # one compiled scan with its tensors passed as device arguments —
+    # identity keys (plain callables) keep the strong-ref behavior below
+    key = (fkey if fkey is not None else f,
+           _tableau_key(a, b, c), write_steps, 'plain')
 
     def build():
-        step = make_rk_step(f, a, b, c)
-        return jax.jit(lambda carry0, td: _scan_chunks(
-            lambda y, tt, dt_: step(y, tt, dt_), carry0, td, write_steps))
+        if apply is None:
+            step = make_rk_step(f, a, b, c)
+            return jax.jit(lambda carry0, td: _scan_chunks(
+                lambda y, tt, dt_: step(y, tt, dt_), carry0, td, write_steps))
 
-    return _scan_cache_get(key, build)
+        def run(operands, carry0, td):
+            step = make_rk_step(lambda t, x: apply(operands, t, x), a, b, c)
+            return _scan_chunks(lambda y, tt, dt_: step(y, tt, dt_),
+                                carry0, td, write_steps)
+
+        return jax.jit(run)
+
+    fn = _scan_cache_get(key, build)
+    if apply is None:
+        return fn
+    return lambda carry0, td: fn(f.operands, carry0, td)
 
 
 def _get_tgls_scan(f, fjac, a, b, c, write_steps, adjoint, inverse, boundary):
-    key = (f, fjac, _tableau_key(a, b, c), write_steps, adjoint, inverse, boundary)
+    f_apply, fkey = _operand_form(f)
+    j_apply, jkey = _operand_form(fjac)
+    threaded = (f_apply is not None and j_apply is not None
+                and boundary is None)
+    if threaded:
+        key = (fkey, jkey, _tableau_key(a, b, c), write_steps, adjoint,
+               inverse, 'tgls')
+    else:
+        key = (f, fjac, _tableau_key(a, b, c), write_steps, adjoint,
+               inverse, boundary)
 
     def build():
-        step = make_tgls_step(f, fjac, a, b, c, adjoint=adjoint, inverse=inverse,
-                              boundary=boundary)
-        return jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
+        if not threaded:
+            step = make_tgls_step(f, fjac, a, b, c, adjoint=adjoint,
+                                  inverse=inverse, boundary=boundary)
+            return jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td,
+                                                           write_steps))
 
-    return _scan_cache_get(key, build)
+        def run(ops_f, ops_j, carry0, td):
+            step = make_tgls_step(lambda t, x: f_apply(ops_f, t, x),
+                                  lambda t, x: j_apply(ops_j, t, x),
+                                  a, b, c, adjoint=adjoint, inverse=inverse)
+            return _scan_chunks(step, carry0, td, write_steps)
+
+        return jax.jit(run)
+
+    fn = _scan_cache_get(key, build)
+    if not threaded:
+        return fn
+    return lambda carry0, td: fn(f.operands, fjac.operands, carry0, td)
 
 
 def infer_ndim(f):
@@ -331,24 +381,56 @@ def integrate_runge_kutta(f, t0, t, dt, ic=None, forward=True, write_steps=1,
     return time[-1], jnp.squeeze(traj)
 
 
-def _get_df_scan(tensor, write_steps, gather, accumulate):
-    key = (tensor, write_steps, gather, accumulate, 'df')
+def _normalize_df_tableau(a, b, c):
+    """Resolve optional tableau arguments for the double-float integrators:
+    ``None`` when the (default) RK4 tableau applies — the hand-fused RK4
+    step is used — else the full ``(a, b, c)`` for the generic df step."""
+    if a is None and b is None and c is None:
+        return None
+    tab = merge_tableau(a, b, c)
+    a_r, b_r, c_r = rk4_tableau()
+    if (np.shape(tab[0]) == a_r.shape and np.allclose(tab[0], a_r)
+            and np.allclose(tab[1], b_r) and np.allclose(tab[2], c_r)):
+        return None
+    return tab
+
+
+def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None):
+    tab_key = _tableau_key(*tableau) if tableau is not None else 'rk4'
+    key = (tensor, write_steps, gather, accumulate, tab_key, 'df')
 
     def build():
-        from qgs_tpu.ops.twofloat import make_df_rk4_step_dynamic
-        step = make_df_rk4_step_dynamic(tensor, gather=gather,
-                                        accumulate=accumulate)
-        return jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td, write_steps))
+        from qgs_tpu.ops.twofloat import (make_df_rk4_step_dynamic,
+                                          make_df_rk_step_dynamic)
+        if tableau is None:
+            step = make_df_rk4_step_dynamic(tensor, gather=gather,
+                                            accumulate=accumulate)
+        else:
+            step = make_df_rk_step_dynamic(tensor, *tableau, gather=gather,
+                                           accumulate=accumulate)
+        apply = step.apply
+        # the compiled scan is shared across every same-layout model
+        # (structural key); this outer cache (tensor-identity key) only
+        # avoids rebuilding the host-side bucketed layout per call
+        exec_fn = _scan_cache_get((step.key, write_steps, 'df_scan_exec'),
+                                  lambda: jax.jit(
+            lambda ops, carry0, td: _scan_chunks(
+                lambda y, tt, dt_: apply(ops, y, tt, dt_),
+                carry0, td, write_steps)))
+        ops = step.operands
+        return lambda carry0, td: exec_fn(ops, carry0, td)
 
     return _scan_cache_get(key, build)
 
 
 def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
-                             squeeze=True, gather="take", accumulate="auto"):
-    """Integrate the model with the fused double-float (2x float32) RK4
+                             squeeze=True, gather="take", accumulate="auto",
+                             a=None, b=None, c=None):
+    """Integrate the model with the fused double-float (2x float32) RK
     step (:mod:`qgs_tpu.ops.twofloat`): ~48-bit-mantissa trajectories at
     near-f32 TPU throughput.  Same time-grid/record semantics as
-    :func:`integrate_runge_kutta`; RK4 tableau only.
+    :func:`integrate_runge_kutta`.  Any explicit Butcher tableau is
+    accepted (default RK4, which uses the hand-fused step).
 
     ``tensor`` is the COO tendency tensor (``QgsTensor.tensor``); ``ic``
     is float64 (B, ndim) and the returned trajectory is float64.
@@ -360,7 +442,8 @@ def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
     directed = time if forward else time[::-1]
     tts, dts = directed[:-1], np.diff(directed)
 
-    scan_fn = _get_df_scan(tensor, write_steps, gather, accumulate)
+    tableau = _normalize_df_tableau(a, b, c)
+    scan_fn = _get_df_scan(tensor, write_steps, gather, accumulate, tableau)
     td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
     _, recs = scan_fn(df_from_f64(ic), td_all)
     traj = jnp.moveaxis(df_to_f64(recs), 0, -1)    # (B, ndim, n_records)
@@ -396,17 +479,30 @@ def _normalize_tg_ic(tg_ic, B, n, dtype=None):
 
 
 def _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint, inverse,
-                      gather, accumulate):
+                      gather, accumulate, tableau=None):
+    tab_key = _tableau_key(*tableau) if tableau is not None else 'rk4'
     key = (tensor, jtensor, write_steps, adjoint, inverse, gather,
-           accumulate, 'df_tgls')
+           accumulate, tab_key, 'df_tgls')
 
     def build():
-        from qgs_tpu.ops.twofloat import make_df_tgls_rk4_step_dynamic
-        step = make_df_tgls_rk4_step_dynamic(tensor, jtensor, adjoint=adjoint,
-                                             inverse=inverse, gather=gather,
-                                             accumulate=accumulate)
-        return jax.jit(lambda carry0, td: _scan_chunks(step, carry0, td,
-                                                       write_steps))
+        from qgs_tpu.ops.twofloat import (make_df_tgls_rk4_step_dynamic,
+                                          make_df_tgls_rk_step_dynamic)
+        if tableau is None:
+            step = make_df_tgls_rk4_step_dynamic(
+                tensor, jtensor, adjoint=adjoint, inverse=inverse,
+                gather=gather, accumulate=accumulate)
+        else:
+            step = make_df_tgls_rk_step_dynamic(
+                tensor, jtensor, *tableau, adjoint=adjoint, inverse=inverse,
+                gather=gather, accumulate=accumulate)
+        apply = step.apply
+        exec_fn = _scan_cache_get((step.key, write_steps, 'df_tgls_exec'),
+                                  lambda: jax.jit(
+            lambda ops, carry0, td: _scan_chunks(
+                lambda carry, tt, dt_: apply(ops, carry, tt, dt_),
+                carry0, td, write_steps)))
+        ops = step.operands
+        return lambda carry0, td: exec_fn(ops, carry0, td)
 
     return _scan_cache_get(key, build)
 
@@ -414,15 +510,16 @@ def _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint, inverse,
 def integrate_runge_kutta_tgls_df(tensor, jtensor, t0, t, dt, ic, tg_ic,
                                   forward=True, adjoint=False, inverse=False,
                                   write_steps=1, mesh=None, gather="take",
-                                  accumulate="auto"):
+                                  accumulate="auto", a=None, b=None, c=None):
     """Integrate the coupled (trajectory, tangent) system with the fused
-    double-float (2x float32) TGLS RK4 step (:mod:`qgs_tpu.ops.twofloat`):
+    double-float (2x float32) TGLS RK step (:mod:`qgs_tpu.ops.twofloat`):
     ~48-bit-mantissa trajectories AND fundamental matrices at near-f32 TPU
     throughput — the precision tier for the reference's other HOT path
     (ref ``qgs/integrators/integrate.py:227-231,556-614``).
 
     Same time-grid/record/shape semantics as
-    :func:`integrate_runge_kutta_tgls`; RK4 tableau only, no boundary term.
+    :func:`integrate_runge_kutta_tgls`; any explicit Butcher tableau
+    (default RK4, hand-fused), no boundary term.
     ``ic``/``tg_ic`` are float64 and the returned arrays are float64.
     """
     from qgs_tpu.ops.twofloat import df_from_f64, df_to_f64
@@ -441,8 +538,9 @@ def integrate_runge_kutta_tgls_df(tensor, jtensor, t0, t, dt, ic, tg_ic,
     directed = time if forward else time[::-1]
     tts, dts = directed[:-1], np.diff(directed)
 
+    tableau = _normalize_df_tableau(a, b, c)
     scan_fn = _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint,
-                                inverse, gather, accumulate)
+                                inverse, gather, accumulate, tableau)
     td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
     _, recs = scan_fn((df_from_f64(ic), df_from_f64(tg)), td_all)
     traj = jnp.moveaxis(df_to_f64(recs[0])[:, :n_orig], 0, -1)

@@ -16,7 +16,8 @@ import pickle
 import numpy as np
 
 from qgs_tpu.models.tendencies import create_tendencies, _build_inner_products, build_tensor
-from qgs_tpu.ops.contraction import make_tendency_fns, single_state
+from qgs_tpu.ops.contraction import (jit_contraction, make_tendency_fns,
+                                     single_state)
 
 
 class QgsModel:
@@ -44,15 +45,13 @@ class QgsModel:
         self._compile(mode, dtype)
 
     def _compile(self, mode="auto", dtype=None):
-        import jax
-
         f_b, jac_b = make_tendency_fns(self.tensor.tensor,
                                        self.tensor.jacobian_tensor,
                                        mode=mode, dtype=dtype)
-        self.f_batched = jax.jit(f_b)
-        self.Df_batched = jax.jit(jac_b)
-        self.f = jax.jit(single_state(f_b))
-        self.Df = jax.jit(single_state(jac_b))
+        self.f_batched = jit_contraction(f_b)
+        self.Df_batched = jit_contraction(jac_b)
+        self.f = jit_contraction(single_state(f_b))
+        self.Df = jit_contraction(single_state(jac_b))
         self.f.batched = self.f_batched
         self.Df.batched = self.Df_batched
 

@@ -16,9 +16,6 @@ functions as ``.batched``).
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
-
 from qgs_tpu.inner_products.analytic import (
     AtmosphericAnalyticInnerProducts, OceanicAnalyticInnerProducts,
     GroundAnalyticInnerProducts,
@@ -27,7 +24,8 @@ from qgs_tpu.tensors.qgtensor import QgsTensor, QgsTensorDynamicT, QgsTensorT4
 from qgs_tpu.tensors.atmo_thermo import (
     AtmoThermoTensor, AtmoThermoTensorDynamicT, AtmoThermoTensorT4,
 )
-from qgs_tpu.ops.contraction import make_tendency_fns, single_state
+from qgs_tpu.ops.contraction import (jit_contraction, make_tendency_fns,
+                                     single_state)
 
 
 def _build_inner_products(params):
@@ -96,10 +94,12 @@ def create_tendencies(params, return_inner_products=False, return_qgtensor=False
     f_b, jac_b = make_tendency_fns(agotensor.tensor, agotensor.jacobian_tensor,
                                    mode=mode, dtype=dtype, precision=precision)
 
-    f_batched = jax.jit(f_b)
-    Df_batched = jax.jit(jac_b)
-    f = jax.jit(single_state(f_b))
-    Df = jax.jit(single_state(jac_b))
+    # jit with the tensor buffers threaded as arguments (shared executables
+    # across same-shape models — see contraction.Contraction)
+    f_batched = jit_contraction(f_b)
+    Df_batched = jit_contraction(jac_b)
+    f = jit_contraction(single_state(f_b))
+    Df = jit_contraction(single_state(jac_b))
     f.batched = f_batched
     Df.batched = Df_batched
     # the compile artifact rides along: integrators use it for the fused
@@ -130,8 +130,8 @@ def create_atmo_thermo_tendencies(params, return_atmo_thermo_tensor=False,
 
     f_b, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
                                mode=mode, dtype=dtype, precision=precision)
-    f = jax.jit(single_state(f_b))
-    f.batched = jax.jit(f_b)
+    f = jit_contraction(single_state(f_b))
+    f.batched = jit_contraction(f_b)
 
     if return_atmo_thermo_tensor:
         return [f, tensor]

@@ -9,8 +9,7 @@ with the state vector ``xx = [1, x]``:
 * Jacobian:      J_im = sum_{j}  JT[i,j,m] xx_j                 (rank 3)
 * T^4 variants:  rank-5 analogues.
 
-This module provides two interchangeable device implementations (both close
-over the host-precomputed tensor):
+This module provides interchangeable device implementations:
 
 * **dense**: the densified tensor is tiny for typical mode counts
   ((ndim+1)^3 f64 at ndim~40 is ~0.5 MB), so a batched ``einsum`` maps the
@@ -22,11 +21,31 @@ over the host-precomputed tensor):
   and scatter-add through a precomputed one-hot matrix — the scatter then
   runs as a single (B, nnz) x (nnz, n) matmul on the MXU rather than a
   serial scatter.
+* **rowsum**: row-grouped gathers + a VPU per-row reduction (no scatter
+  matmul at all) — the measured winner at MAOOAM scale.
+
+Tensor buffers are ARGUMENTS, not baked constants
+-------------------------------------------------
+Every factory returns a :class:`Contraction`: a callable whose device
+buffers (tensor values, index tables, one-hot matrices) live in a
+``.operands`` pytree and whose computation is a pure ``.apply(operands,
+*args)``.  Jitted consumers (the integrator scans, ``jit_contraction``)
+thread ``.operands`` through as arguments instead of closing over them, so
+
+* the tensor is shipped to the device as data, not serialized into the
+  XLA program — the dense path no longer dies on the remote-compile
+  request size limit at high mode counts, and
+* executables are cached by the *structural* ``.key`` (kernel kind,
+  shapes, dtype, precision): a new parameter set of the same resolution
+  reuses the already-compiled program with new operand values — no
+  recompile per configuration.
 
 All functions are batched over a leading ensemble axis; vmap/jit compose.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -50,23 +69,139 @@ def _resolve_precision(precision):
 
 
 # ---------------------------------------------------------------------------
+# operand-threading machinery
+# ---------------------------------------------------------------------------
+
+class Contraction:
+    """A contraction kernel whose device buffers are jit *arguments*.
+
+    ``apply(operands, *args)`` is the pure computation; ``operands`` is a
+    pytree of device arrays (tensor values / index tables); ``key`` is a
+    hashable structural descriptor (kernel kind + static shapes + dtype +
+    precision) under which compiled executables are shared — two models
+    with the same key differ only in operand *values*, so they can (and
+    do) run the same compiled program.
+
+    Calling the object directly evaluates ``apply(self.operands, *args)``
+    eagerly (or inlined, inside an outer trace)."""
+
+    __slots__ = ("apply", "operands", "key", "__weakref__")
+
+    def __init__(self, apply, operands, key):
+        self.apply = apply
+        self.operands = operands
+        self.key = key
+
+    def __call__(self, *args):
+        return self.apply(self.operands, *args)
+
+
+_APPLY_CACHE = OrderedDict()
+_APPLY_CACHE_MAX = 256
+
+
+def _cached_apply(key, build):
+    """One apply function per structural key: instances sharing a key share
+    the function object, which is what lets downstream ``jax.jit`` caches
+    (keyed on function identity) serve every same-structure model from one
+    compiled executable."""
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _APPLY_CACHE[key] = fn
+        while len(_APPLY_CACHE) > _APPLY_CACHE_MAX:
+            _APPLY_CACHE.popitem(last=False)
+    return fn
+
+
+_JIT_CACHE = OrderedDict()
+_JIT_CACHE_MAX = 256
+
+
+def jit_contraction(c):
+    """Jit a :class:`Contraction`, threading its operands as call-time
+    arguments; the jitted executable is shared across every Contraction
+    with the same structural key.  Plain callables fall back to a regular
+    ``jax.jit``.  The returned wrapper re-exports ``apply`` / ``operands``
+    / ``key`` so integrator scan caches can thread the operands further."""
+    apply = getattr(c, "apply", None)
+    if apply is None:
+        return jax.jit(c)
+    jitted = _JIT_CACHE.get(c.key)
+    if jitted is None:
+        jitted = jax.jit(apply)
+        _JIT_CACHE[c.key] = jitted
+        while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            _JIT_CACHE.popitem(last=False)
+
+    operands = c.operands
+
+    def fn(*args):
+        return jitted(operands, *args)
+
+    fn.apply = apply
+    fn.operands = operands
+    fn.key = c.key
+    return fn
+
+
+def _dtype_key(dtype):
+    return np.dtype(dtype).name
+
+
+def _prec_key(precision):
+    return str(precision)
+
+
+def _idx(a):
+    """Index arrays as int32 (mode counts are far below 2^31): half the
+    gather-index traffic of int64, and the TPU-native index width."""
+    return np.asarray(a, np.int32)
+
+
+# ---------------------------------------------------------------------------
 # Dense rank-3 kernels
 # ---------------------------------------------------------------------------
 
+def _dense_matricized(tensor: COO, np_dtype, layout):
+    """Assemble the matricized dense tensor directly in the target dtype
+    (no (n1)^3 float64 intermediate).
+
+    ``layout='jk_i'``: out[j*n1+k, i] = T[i,j,k]  (quadratic contraction)
+    ``layout='k_ij'``: out[k, i*n1+j] = T[i,j,k]  (bilinear / Jacobian)
+    """
+    n1 = tensor.shape[0]
+    i, j, k = tensor.coords[0], tensor.coords[1], tensor.coords[2]
+    if layout == "jk_i":
+        out = np.zeros((n1 * n1, n1), dtype=np_dtype)
+        np.add.at(out, (j * n1 + k, i), tensor.data.astype(np_dtype))
+    else:
+        out = np.zeros((n1, n1 * n1), dtype=np_dtype)
+        np.add.at(out, (k, i * n1 + j), tensor.data.astype(np_dtype))
+    return out
+
+
 def make_dense_quadratic(tensor: COO, dtype=None, precision=None):
-    """Return ``f(xx) -> out`` with ``out[b,i] = sum_jk T[i,j,k] xx[b,j] xx[b,k]``."""
+    """Return ``f(xx) -> out`` with ``out[b,i] = sum_jk T[i,j,k] xx[b,j] xx[b,k]``.
+
+    The matricized (n1^2, n1) tensor is an operand (device argument), so
+    high-resolution configurations neither blow up the compile request nor
+    recompile when the parameters change (one executable per shape)."""
     dtype = dtype or _default_dtype()
     precision = _resolve_precision(precision)
-    T = jnp.asarray(tensor.todense(), dtype=dtype)
-    n1 = T.shape[0]
-    # matricized layout for a single big matmul: (n1, n1*n1)
-    T2 = T.reshape(n1, n1 * n1)
+    n1 = tensor.shape[0]
+    key = ("dense_quad", n1, _dtype_key(dtype), _prec_key(precision))
 
-    def quad(xx):
-        outer = (xx[:, :, None] * xx[:, None, :]).reshape(xx.shape[0], n1 * n1)
-        return jnp.matmul(outer, T2.T, precision=precision)
+    def build():
+        def apply(ops, xx):
+            outer = (xx[:, :, None] * xx[:, None, :]).reshape(
+                xx.shape[0], n1 * n1)
+            return jnp.matmul(outer, ops["T2T"], precision=precision)
 
-    return quad
+        return apply
+
+    T2T = jnp.asarray(_dense_matricized(tensor, np.dtype(dtype), "jk_i"))
+    return Contraction(_cached_apply(key, build), {"T2T": T2T}, key)
 
 
 def make_dense_bilinear(jtensor: COO, dtype=None, precision=None):
@@ -75,21 +210,35 @@ def make_dense_bilinear(jtensor: COO, dtype=None, precision=None):
     tensor, contraction over the trailing axis, ref ``sparse_mul.py:14-45``)."""
     dtype = dtype or _default_dtype()
     precision = _resolve_precision(precision)
-    JT = jnp.asarray(jtensor.todense(), dtype=dtype)
-    n1 = JT.shape[0]
-    # (B, n1) @ (n1, n1*n1): contract the trailing index k
-    J2 = JT.transpose(2, 0, 1).reshape(n1, n1 * n1)
+    n1 = jtensor.shape[0]
+    key = ("dense_bil", n1, _dtype_key(dtype), _prec_key(precision))
 
-    def jac(xx):
-        return jnp.matmul(xx, J2, precision=precision).reshape(
-            xx.shape[0], n1, n1)
+    def build():
+        def apply(ops, xx):
+            return jnp.matmul(xx, ops["J2"], precision=precision).reshape(
+                xx.shape[0], n1, n1)
 
-    return jac
+        return apply
+
+    J2 = jnp.asarray(_dense_matricized(jtensor, np.dtype(dtype), "k_ij"))
+    return Contraction(_cached_apply(key, build), {"J2": J2}, key)
 
 
 # ---------------------------------------------------------------------------
 # COO gather-scatter kernels (any rank)
 # ---------------------------------------------------------------------------
+
+def _empty_contraction(n1, dtype):
+    key = ("empty", n1, _dtype_key(dtype))
+
+    def build():
+        def apply(ops, xx):
+            return jnp.zeros((xx.shape[0], n1), dtype=dtype)
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), {}, key)
+
 
 def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     """Return ``f(xx) -> out`` for a COO tensor of any rank r >= 2:
@@ -102,31 +251,50 @@ def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     coords = tensor.coords
     rank = tensor.rank
     n1 = tensor.shape[0]
-    nnz = max(tensor.nnz, 1)
     if tensor.nnz == 0:
-        zero = jnp.zeros((n1,), dtype=dtype)
+        return _empty_contraction(n1, dtype)
 
-        def empty(xx):
-            return jnp.broadcast_to(zero, (xx.shape[0], n1))
+    nnz = tensor.nnz
+    key = ("coo_quad", n1, rank, nnz, _dtype_key(dtype), _prec_key(precision))
 
-        return empty
+    def build():
+        def apply(ops, xx):
+            prod = ops["val"][None, :]
+            for idx in ops["idxs"]:
+                prod = prod * xx[:, idx]
+            return jnp.matmul(prod, ops["S"], precision=precision)
 
-    val = jnp.asarray(tensor.data, dtype=dtype)
-    idxs = [jnp.asarray(coords[axis]) for axis in range(1, rank)]
-    scatter = np.zeros((nnz, n1), dtype=np.float64)
-    scatter[np.arange(tensor.nnz), coords[0]] = 1.0
-    S = jnp.asarray(scatter, dtype=dtype)
+        return apply
 
-    def contract(xx):
-        prod = val[None, :]
-        for idx in idxs:
-            prod = prod * xx[:, idx]
-        return jnp.matmul(prod, S, precision=precision)
-
-    return contract
+    scatter = np.zeros((nnz, n1), dtype=np.dtype(dtype))
+    scatter[np.arange(nnz), coords[0]] = 1.0
+    operands = {
+        "val": jnp.asarray(tensor.data, dtype=dtype),
+        "idxs": tuple(jnp.asarray(_idx(coords[axis]))
+                      for axis in range(1, rank)),
+        "S": jnp.asarray(scatter),
+    }
+    return Contraction(_cached_apply(key, build), operands, key)
 
 
-def make_rowsum_contraction(tensor: COO, dtype=None):
+def _row_grouped(rows, n1, data, idx_cols):
+    """Pad entries into a (n1, R) row-major layout (R = max row count);
+    returns ``(vals, idx_slots, R)``."""
+    counts = np.bincount(rows, minlength=n1)
+    R = max(int(counts.max()), 1) if rows.size else 1
+    vals = np.zeros((n1, R))
+    idx_slots = [np.zeros((n1, R), np.int32) for _ in idx_cols]
+    ptr = np.zeros(n1, np.int64)
+    for e in range(rows.size):
+        i = rows[e]
+        vals[i, ptr[i]] = data[e]
+        for out, col in zip(idx_slots, idx_cols):
+            out[i, ptr[i]] = col[e]
+        ptr[i] += 1
+    return vals, idx_slots, R
+
+
+def make_rowsum_contraction(tensor: COO, dtype=None, feature_major=False):
     """Return ``f(xx) -> out`` for a COO tensor of any rank r >= 2, with the
     per-row reduction done as a VPU sum instead of a one-hot scatter matmul.
 
@@ -137,42 +305,129 @@ def make_rowsum_contraction(tensor: COO, dtype=None):
     scatter matmul entirely — at HIGHEST precision that matmul is ~6x
     B*nnz*n1 MACs and dominates the COO path (measured ~25 TFLOP/s of
     mostly-padding work at MAOOAM size); the row-sum does B*n1*R exact-f32
-    VPU ops.  Deterministic summation order (fixed slot order per row)."""
+    VPU ops.  Deterministic summation order (fixed slot order per row).
+
+    ``feature_major=True`` transposes the state to (n1, B) and gathers
+    ROWS instead of columns: a batch-major gather fetches (B, 1) strided
+    column slices (one scalar per batch lane — the access pattern behind
+    the ~245 GB/s plateau measured at ndim >= 104 in RESOLUTION_r03),
+    while a feature-major gather fetches contiguous (1, B) rows — full
+    vector loads.  Same arithmetic, same summation order; two cheap
+    transposes per evaluation."""
     dtype = dtype or _default_dtype()
-    coords = tensor.coords
     rank = tensor.rank
     n1 = tensor.shape[0]
     if tensor.nnz == 0:
-        zero = jnp.zeros((n1,), dtype=dtype)
+        return _empty_contraction(n1, dtype)
 
-        def empty(xx):
-            return jnp.broadcast_to(zero, (xx.shape[0], n1))
+    rows = np.asarray(tensor.coords[0])
+    vals, idx_slots, R = _row_grouped(
+        rows, n1, tensor.data, [np.asarray(tensor.coords[a])
+                                for a in range(1, rank)])
 
-        return empty
+    key = ("rowsum", n1, R, rank, bool(feature_major), _dtype_key(dtype))
 
-    rows = np.asarray(coords[0])
-    counts = np.bincount(rows, minlength=n1)
-    R = max(int(counts.max()), 1)
-    vals = np.zeros((n1, R))
-    idx_slots = [np.zeros((n1, R), np.int64) for _ in range(1, rank)]
-    ptr = np.zeros(n1, np.int64)
-    for e in range(tensor.nnz):
-        i = rows[e]
-        vals[i, ptr[i]] = tensor.data[e]
-        for axis in range(1, rank):
-            idx_slots[axis - 1][i, ptr[i]] = coords[axis][e]
-        ptr[i] += 1
+    def build():
+        if feature_major:
+            def apply(ops, xx):
+                xT = xx.T                                   # (n1, B)
+                prod = ops["V"][:, None]
+                for idxf in ops["idx_flats"]:
+                    prod = prod * jnp.take(xT, idxf, axis=0)  # (n1*R, B)
+                return prod.reshape(n1, R, xT.shape[1]).sum(axis=1).T
+        else:
+            def apply(ops, xx):
+                prod = ops["V"][None, :]
+                for idxf in ops["idx_flats"]:
+                    prod = prod * jnp.take(xx, idxf, axis=1)
+                return prod.reshape(xx.shape[0], n1, R).sum(axis=-1)
 
-    V = jnp.asarray(vals.reshape(-1), dtype=dtype)
-    idx_flats = [jnp.asarray(s.reshape(-1)) for s in idx_slots]
+        return apply
 
-    def contract(xx):
-        prod = V[None, :]
-        for idxf in idx_flats:
-            prod = prod * jnp.take(xx, idxf, axis=1)
-        return prod.reshape(xx.shape[0], n1, R).sum(axis=-1)
+    operands = {
+        "V": jnp.asarray(vals.reshape(-1), dtype=dtype),
+        "idx_flats": tuple(jnp.asarray(s.reshape(-1)) for s in idx_slots),
+    }
+    return Contraction(_cached_apply(key, build), operands, key)
 
-    return contract
+
+def make_pairsum_contraction(tensor: COO, dtype=None, feature_major=True):
+    """Pair-factored row-sum contraction for the quartic (rank-5) tensors:
+    ``out[b,i] = sum_e val_e * x[j_e] x[k_e] x[l_e] x[m_e]`` evaluated as
+
+        p_q   = x[a_q] * x[b_q]          over the tensor's distinct
+                                         index PAIRS (j,k) / (l,m)
+        out_i = sum_slots val * p[q1] * p[q2]
+
+    The pair alphabet is shared across all entries, so the per-slot work
+    drops from 4 state gathers + 3 multiplies to 2 pair gathers + 2
+    multiplies, plus an O(n_pairs) precompute — the dominant gather
+    traffic halves (the T4 tier ran at 21% of the HBM roofline in
+    RESOLUTION_r03; this is the rank-5 analogue of "keep it factored",
+    SURVEY §7, ref ``qgs/tensors/qgtensor.py:1060-1123``).  Requires an
+    even number of trailing indices (rank 5: the four quartic indices; a
+    rank-3 tensor would just reproduce :func:`make_rowsum_contraction`).
+
+    Deterministic: fixed pair order, fixed slot order per row."""
+    dtype = dtype or _default_dtype()
+    rank = tensor.rank
+    n1 = tensor.shape[0]
+    if (rank - 1) % 2 != 0:
+        raise ValueError(f"pairsum needs an even number of trailing "
+                         f"indices, got rank {rank}")
+    if tensor.nnz == 0:
+        return _empty_contraction(n1, dtype)
+
+    n_half = (rank - 1) // 2
+    coords = [np.asarray(c) for c in tensor.coords]
+    rows = coords[0]
+    trail = np.stack(coords[1:], axis=0)                  # (2*n_half, nnz)
+    # pair alphabet: distinct (first, second) index pairs across all slots
+    pair_cols = np.concatenate(
+        [trail[2 * h:2 * h + 2] for h in range(n_half)], axis=1)  # (2, n_half*nnz)
+    pair_keys = pair_cols[0] * n1 + pair_cols[1]
+    uniq, inverse = np.unique(pair_keys, return_inverse=True)
+    n_pairs = uniq.size
+    pair_a = (uniq // n1).astype(np.int64)
+    pair_b = (uniq % n1).astype(np.int64)
+    # per-entry pair ids, one per half
+    pair_ids = inverse.reshape(n_half, tensor.nnz)
+
+    vals, idx_slots, R = _row_grouped(rows, n1, tensor.data,
+                                      list(pair_ids))
+
+    key = ("pairsum", n1, R, n_pairs, n_half, bool(feature_major),
+           _dtype_key(dtype))
+
+    def build():
+        if feature_major:
+            def apply(ops, xx):
+                xT = xx.T                                   # (n1, B)
+                p = (jnp.take(xT, ops["pair_a"], axis=0)
+                     * jnp.take(xT, ops["pair_b"], axis=0))  # (n_pairs, B)
+                prod = ops["V"][:, None]
+                for idxf in ops["idx_flats"]:
+                    prod = prod * jnp.take(p, idxf, axis=0)  # (n1*R, B)
+                return prod.reshape(n1, R, xT.shape[1]).sum(axis=1).T
+        else:
+            def apply(ops, xx):
+                p = (jnp.take(xx, ops["pair_a"], axis=1)
+                     * jnp.take(xx, ops["pair_b"], axis=1))  # (B, n_pairs)
+                prod = ops["V"][None, :]
+                for idxf in ops["idx_flats"]:
+                    prod = prod * jnp.take(p, idxf, axis=1)
+                return prod.reshape(xx.shape[0], n1, R).sum(axis=-1)
+
+        return apply
+
+    operands = {
+        "V": jnp.asarray(vals.reshape(-1), dtype=dtype),
+        "pair_a": jnp.asarray(_idx(pair_a)),
+        "pair_b": jnp.asarray(_idx(pair_b)),
+        "idx_flats": tuple(jnp.asarray(_idx(s.reshape(-1)))
+                           for s in idx_slots),
+    }
+    return Contraction(_cached_apply(key, build), operands, key)
 
 
 def make_coo_jacobian(jtensor: COO, dtype=None, precision=None):
@@ -187,41 +442,58 @@ def make_coo_jacobian(jtensor: COO, dtype=None, precision=None):
     rank = jtensor.rank
     n1 = jtensor.shape[0]
     if jtensor.nnz == 0:
-        def empty(xx):
-            return jnp.zeros((xx.shape[0], n1, n1), dtype=dtype)
+        key = ("empty_jac", n1, _dtype_key(dtype))
 
-        return empty
+        def build_empty():
+            def apply(ops, xx):
+                return jnp.zeros((xx.shape[0], n1, n1), dtype=dtype)
 
-    val = jnp.asarray(jtensor.data, dtype=dtype)
-    idxs = [jnp.asarray(coords[axis]) for axis in range(2, rank)]
+            return apply
+
+        return Contraction(_cached_apply(key, build_empty), {}, key)
+
+    nnz = jtensor.nnz
     flat_out = coords[0] * n1 + coords[1]
+    small = nnz * n1 * n1 <= 2e7
 
-    if jtensor.nnz * n1 * n1 <= 2e7:
-        # one-hot matmul scatter (MXU-friendly)
-        scatter = np.zeros((jtensor.nnz, n1 * n1), dtype=np.float64)
-        scatter[np.arange(jtensor.nnz), flat_out] = 1.0
-        S = jnp.asarray(scatter, dtype=dtype)
+    key = ("coo_jac", n1, rank, nnz, small, _dtype_key(dtype),
+           _prec_key(precision))
 
-        def jac(xx):
-            prod = val[None, :]
-            for idx in idxs:
-                prod = prod * xx[:, idx]
-            return jnp.matmul(prod, S, precision=precision).reshape(
-                xx.shape[0], n1, n1)
+    def build():
+        if small:
+            # one-hot matmul scatter (MXU-friendly)
+            def apply(ops, xx):
+                prod = ops["val"][None, :]
+                for idx in ops["idxs"]:
+                    prod = prod * xx[:, idx]
+                return jnp.matmul(prod, ops["S"],
+                                  precision=precision).reshape(
+                    xx.shape[0], n1, n1)
+        else:
+            # large rank-5 jacobians: scatter-add (the one-hot matrix would
+            # be nnz x n1^2 — hundreds of MB)
+            def apply(ops, xx):
+                prod = ops["val"][None, :]
+                for idx in ops["idxs"]:
+                    prod = prod * xx[:, idx]
+                flat = jnp.zeros((xx.shape[0], n1 * n1), dtype=dtype)
+                flat = flat.at[:, ops["out_idx"]].add(prod)
+                return flat.reshape(xx.shape[0], n1, n1)
+
+        return apply
+
+    operands = {
+        "val": jnp.asarray(jtensor.data, dtype=dtype),
+        "idxs": tuple(jnp.asarray(_idx(coords[axis]))
+                      for axis in range(2, rank)),
+    }
+    if small:
+        scatter = np.zeros((nnz, n1 * n1), dtype=np.dtype(dtype))
+        scatter[np.arange(nnz), flat_out] = 1.0
+        operands["S"] = jnp.asarray(scatter)
     else:
-        # large rank-5 jacobians: scatter-add (the one-hot matrix would be
-        # nnz x n1^2 — hundreds of MB)
-        out_idx = jnp.asarray(flat_out)
-
-        def jac(xx):
-            prod = val[None, :]
-            for idx in idxs:
-                prod = prod * xx[:, idx]
-            flat = jnp.zeros((xx.shape[0], n1 * n1), dtype=dtype)
-            flat = flat.at[:, out_idx].add(prod)
-            return flat.reshape(xx.shape[0], n1, n1)
-
-    return jac
+        operands["out_idx"] = jnp.asarray(_idx(flat_out))
+    return Contraction(_cached_apply(key, build), operands, key)
 
 
 def make_direct_tangent(jtensor: COO, dtype=None, precision=None,
@@ -237,8 +509,10 @@ def make_direct_tangent(jtensor: COO, dtype=None, precision=None,
     (B*n_tg, nnz) x (nnz, n1) scatter matmul (measured ~3x on the on-chip
     Benettin window at MAOOAM scale).  Same index conventions as the
     double-float version (:func:`qgs_tpu.ops.twofloat.make_df_tangent_contraction`);
-    ``adjoint`` transposes and ``inverse`` negates on host, exactly.
-    ``dm`` carries no dummy row (its tangent is identically zero)."""
+    ``adjoint`` transposes and ``inverse`` negates on host, exactly —
+    both live purely in operand values, so every variant shares one
+    compiled program per shape.  ``dm`` carries no dummy row (its tangent
+    is identically zero)."""
     dtype = dtype or _default_dtype()
     precision = _resolve_precision(precision)
     n1 = jtensor.shape[0]
@@ -251,33 +525,46 @@ def make_direct_tangent(jtensor: COO, dtype=None, precision=None,
         coords[0], coords[1] = coords[1], coords[0]
     keep = (coords[0] != 0) & (coords[1] != 0)
     rows = coords[0][keep] - 1
-    dm_idx = jnp.asarray(coords[1][keep] - 1)
-    x_idxs = [jnp.asarray(c[keep]) for c in coords[2:]]
-    val = jnp.asarray(data[keep], dtype=dtype)
     nnz = int(rows.size)
     if nnz == 0:
-        def empty(xx, dm):
-            return jnp.zeros((xx.shape[0], n, dm.shape[-1]), dtype=dtype)
+        key = ("empty_tangent", n, _dtype_key(dtype))
 
-        return empty
+        def build_empty():
+            def apply(ops, xx, dm):
+                return jnp.zeros((xx.shape[0], n, dm.shape[-1]), dtype=dtype)
 
-    scatter = np.zeros((nnz, n), dtype=np.float64)
+            return apply
+
+        return Contraction(_cached_apply(key, build_empty), {}, key)
+
+    n_xidx = len(coords) - 2
+    key = ("direct_tangent", n1, nnz, n_xidx, _dtype_key(dtype),
+           _prec_key(precision))
+
+    def build():
+        def apply(ops, xx, dm):
+            """xx: (B, n1) dummy-padded state; dm: (B, n, n_tg)."""
+            B, n_tg = xx.shape[0], dm.shape[-1]
+            coef = ops["val"][None, :]
+            for idx in ops["x_idxs"]:
+                coef = coef * xx[:, idx]                   # (B, nnz)
+            prod = coef[:, :, None] * jnp.take(dm, ops["dm_idx"], axis=1)
+            # one flat scatter matmul: (B*n_tg, nnz) @ (nnz, n)
+            flat = prod.transpose(0, 2, 1).reshape(B * n_tg, nnz)
+            out = jnp.matmul(flat, ops["S"], precision=precision)
+            return out.reshape(B, n_tg, n).transpose(0, 2, 1)
+
+        return apply
+
+    scatter = np.zeros((nnz, n), dtype=np.dtype(dtype))
     scatter[np.arange(nnz), rows] = 1.0
-    S = jnp.asarray(scatter, dtype=dtype)
-
-    def hom(xx, dm):
-        """xx: (B, n1) dummy-padded state; dm: (B, n, n_tg)."""
-        B, n_tg = xx.shape[0], dm.shape[-1]
-        coef = val[None, :]
-        for idx in x_idxs:
-            coef = coef * xx[:, idx]                       # (B, nnz)
-        prod = coef[:, :, None] * jnp.take(dm, dm_idx, axis=1)
-        # one flat scatter matmul: (B*n_tg, nnz) @ (nnz, n)
-        flat = prod.transpose(0, 2, 1).reshape(B * n_tg, nnz)
-        out = jnp.matmul(flat, S, precision=precision)
-        return out.reshape(B, n_tg, n).transpose(0, 2, 1)
-
-    return hom
+    operands = {
+        "val": jnp.asarray(data[keep], dtype=dtype),
+        "dm_idx": jnp.asarray(_idx(coords[1][keep] - 1)),
+        "x_idxs": tuple(jnp.asarray(_idx(c[keep])) for c in coords[2:]),
+        "S": jnp.asarray(scatter),
+    }
+    return Contraction(_cached_apply(key, build), operands, key)
 
 
 # ---------------------------------------------------------------------------
@@ -295,12 +582,13 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
     """Build the batched tendency and Jacobian functions from a tendency
     tensor and its Jacobian tensor (any rank >= 3).
 
-    Returns ``(f_batch, jac_batch)`` with
+    Returns ``(f_batch, jac_batch)`` — :class:`Contraction` objects — with
 
     * ``f_batch(t, x)``: (B, ndim) -> (B, ndim)
     * ``jac_batch(t, x)``: (B, ndim) -> (B, ndim, ndim)
 
-    ``mode``: 'dense' | 'coo' | 'rowsum' | 'auto'.
+    ``mode``: 'dense' | 'coo' | 'rowsum' | 'rowsum_fm' (feature-major
+    gathers) | 'pairsum' (pair-factored quartic kernel) | 'auto'.
     ``precision``: matmul precision for the contraction (default HIGHEST —
     see :func:`_resolve_precision`; pass 'default' for raw-bf16 speed).
     """
@@ -327,34 +615,65 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
             # TPU is XLA-emulated, where O(n1^3) dense MACs would be far
             # slower than the gather path
             mode = "dense"
+        elif rank >= 5 and (rank - 1) % 2 == 0:
+            # quartic tensors: the pair-factored kernel halves the
+            # dominant per-slot gather traffic (see
+            # make_pairsum_contraction)
+            mode = "pairsum"
         else:
             mode = "rowsum" if R <= 8 * max(rows.mean(), 1) else "coo"
 
     if mode == "dense" and rank == 3:
         quad = make_dense_quadratic(tensor, dtype, precision)
         bil = make_dense_bilinear(jtensor, dtype, precision)
-    elif mode == "rowsum":
-        quad = make_rowsum_contraction(tensor, dtype)
+    elif mode == "pairsum":
+        quad = make_pairsum_contraction(
+            tensor, dtype, feature_major=jax.default_backend() == "tpu")
+        bil = make_coo_jacobian(jtensor, dtype, precision)
+    elif mode in ("rowsum", "rowsum_fm"):
+        quad = make_rowsum_contraction(tensor, dtype,
+                                       feature_major=mode == "rowsum_fm")
         bil = make_coo_jacobian(jtensor, dtype, precision)
     else:
         quad = make_coo_contraction(tensor, dtype, precision)
         bil = make_coo_jacobian(jtensor, dtype, precision)
 
-    def f_batch(t, x):
-        xx = _with_dummy(x)
-        return quad(xx)[:, 1:]
+    fkey = ("f_batch", quad.key)
+    jkey = ("jac_batch", bil.key)
+    quad_apply, bil_apply = quad.apply, bil.apply
 
-    def jac_batch(t, x):
-        xx = _with_dummy(x)
-        return bil(xx)[:, 1:, 1:]
+    def build_f():
+        def apply(ops, t, x):
+            return quad_apply(ops, _with_dummy(x))[:, 1:]
 
+        return apply
+
+    def build_j():
+        def apply(ops, t, x):
+            return bil_apply(ops, _with_dummy(x))[:, 1:, 1:]
+
+        return apply
+
+    f_batch = Contraction(_cached_apply(fkey, build_f), quad.operands, fkey)
+    jac_batch = Contraction(_cached_apply(jkey, build_j), bil.operands, jkey)
     return f_batch, jac_batch
 
 
 def single_state(f_batch):
     """Wrap a batched function into a single-state one (reference API shape)."""
+    apply0 = getattr(f_batch, "apply", None)
+    if apply0 is None:
+        def f(t, x):
+            return f_batch(t, x[None, :])[0]
 
-    def f(t, x):
-        return f_batch(t, x[None, :])[0]
+        return f
 
-    return f
+    key = ("single", f_batch.key)
+
+    def build():
+        def apply(ops, t, x):
+            return apply0(ops, t, x[None, :])[0]
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), f_batch.operands, key)

@@ -257,76 +257,23 @@ def _mul_const(vc, y, sloppy):
 # ---------------------------------------------------------------------------
 # contraction layout
 # ---------------------------------------------------------------------------
+#
+# Like the float32/float64 kernels (:mod:`qgs_tpu.ops.contraction`), every
+# double-float kernel below returns a :class:`~qgs_tpu.ops.contraction.
+# Contraction`: the packed index tables and pre-split value constants live
+# in an ``.operands`` pytree threaded through jit as *arguments*, and the
+# pure ``.apply`` is cached by a structural ``.key`` — so same-shape models
+# (new parameter values, same sparsity layout) share one compiled
+# executable instead of recompiling, and large tensors are shipped as
+# device data rather than serialized into the XLA program.
 
-def _row_grouped_layout(tensor: COO, lane_pad=8):
-    """Pad the COO entries into a (n1, R) row-major layout: per output row i,
-    R slots of (value, j-index, k-index), zero-padded."""
-    n1 = tensor.shape[0]
-    rows = tensor.coords[0]
-    counts = np.bincount(rows, minlength=n1)
-    R = max(int(counts.max()), 1)
-    R = ((R + lane_pad - 1) // lane_pad) * lane_pad
-    vals = np.zeros((n1, R))
-    j_idx = np.zeros((n1, R), np.int64)
-    k_idx = np.zeros((n1, R), np.int64)
-    ptr = np.zeros(n1, np.int64)
-    for e in range(tensor.nnz):
-        i = rows[e]
-        vals[i, ptr[i]] = tensor.data[e]
-        j_idx[i, ptr[i]] = tensor.coords[1][e]
-        k_idx[i, ptr[i]] = tensor.coords[2][e]
-        ptr[i] += 1
-    return vals, j_idx, k_idx, R
+from qgs_tpu.ops.contraction import Contraction, _cached_apply
 
 
-def _one_hot_gather_matrix(idx, n1):
-    """(n1, R) index array -> (n1, n1*R) one-hot gather matrix G with
-    G[j, flat(i, r)] = 1 iff idx[i, r] == j.  A matmul with G is an exact
-    gather (single nonzero per column -> no accumulation rounding)."""
-    flat = idx.reshape(-1)
-    G = np.zeros((n1, flat.size), dtype=np.float32)
-    G[flat, np.arange(flat.size)] = 1.0
-    return G
-
-
-def _split_grouped_layout(tensor: COO):
-    """Split the COO entries into a *linear* group (j == 0 or k == 0: the
-    partner index hits the dummy-1 variable, so only one state gather and
-    one double-float product are needed; constant entries j == k == 0 fall
-    in here too, gathering x[0] == 1 exactly) and a *bilinear* group.
-
-    Each group is padded to its own exact per-row maximum (no power-of-two
-    or lane padding: the pairwise reducers handle any width, and unused
-    slots carry value 0, whose double-float products/sums are exact).
-
-    Returns ``(lin_vals, lin_idx, Rl), (bil_vals, bil_j, bil_k, Rb)`` as
-    (n1, R)-shaped arrays; R may be 0 for an empty group."""
-    n1 = tensor.shape[0]
-    rows, j, k = (np.asarray(c) for c in tensor.coords)
-    lin_mask = (j == 0) | (k == 0)
-
-    def _layout(mask, idx_arrays):
-        r = rows[mask]
-        counts = np.bincount(r, minlength=n1)
-        R = int(counts.max()) if r.size else 0
-        vals = np.zeros((n1, R))
-        idxs = [np.zeros((n1, R), np.int64) for _ in idx_arrays]
-        ptr = np.zeros(n1, np.int64)
-        data = tensor.data[mask]
-        cols = [a[mask] for a in idx_arrays]
-        for e in range(r.size):
-            i = r[e]
-            vals[i, ptr[i]] = data[e]
-            for out, col in zip(idxs, cols):
-                out[i, ptr[i]] = col[e]
-            ptr[i] += 1
-        return (vals, *idxs, R)
-
-    # linear: the active index is whichever of (j, k) is nonzero (j + k,
-    # since the other is 0; constants gather index 0 -> x[0] == 1, exact)
-    lin = _layout(lin_mask, [j + k])
-    bil = _layout(~lin_mask, [j, k])
-    return lin, bil
+def _idx32(a):
+    """Index arrays as int32 (mode counts are far below 2^31): half the
+    gather-index traffic of int64, the TPU-native index width."""
+    return np.asarray(a, np.int32)
 
 
 def _bucketed_layout(rows, data, idx_cols, n1):
@@ -383,17 +330,72 @@ def _bucketed_layout(rows, data, idx_cols, n1):
     return buckets, perm
 
 
-def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
+def _one_hot_gather_matrix(idx, n1):
+    """(n1, R) index array -> (n1, n1*R) one-hot gather matrix G with
+    G[j, flat(i, r)] = 1 iff idx[i, r] == j.  A matmul with G is an exact
+    gather (single nonzero per column -> no accumulation rounding)."""
+    flat = idx.reshape(-1)
+    G = np.zeros((n1, flat.size), dtype=np.float32)
+    G[flat, np.arange(flat.size)] = 1.0
+    return G
+
+
+def _df_value_consts(flat_vals):
+    """Device constants for a bucket's tensor values: the (hi, lo)
+    double-float pair plus hi's Veltkamp split, computed on host once (the
+    values are fixed for the model's lifetime) — saves one split per slot
+    per evaluation."""
+    vhi_np = np.asarray(flat_vals, np.float32)
+    shi_np, slo_np = _presplit(vhi_np)
+    return tuple(jnp.asarray(a, jnp.float32)[None, :] for a in
+                 (vhi_np, flat_vals - vhi_np.astype(np.float64),
+                  shi_np, slo_np))
+
+
+def _df_prep_buckets(buckets, n1, gather):
+    """Device operands + static shape descriptor for a bucket list: packed
+    take indices (hi block then lo block of the concatenated (B, 2*n1)
+    state), pre-split value constants, optional one-hot gather matrices."""
+    bops, desc = [], []
+    for row_ids, vals, idxs, R_g in buckets:
+        flat = [a.reshape(-1) for a in idxs]
+        entry = {
+            "packed": tuple(jnp.asarray(_idx32(np.concatenate([a, a + n1])))
+                            for a in flat),
+            "vc": _df_value_consts(vals.reshape(-1)),
+        }
+        if gather == "matmul":
+            entry["onehot"] = tuple(
+                jnp.asarray(_one_hot_gather_matrix(a, n1)) for a in idxs)
+        bops.append(entry)
+        desc.append((row_ids.size, R_g))
+    return tuple(bops), tuple(desc)
+
+
+def _resolve_accumulate(accumulate):
+    if accumulate == "auto":
+        return "fast" if jax.default_backend() not in ("cpu",) else "strict"
+    return accumulate
+
+
+def make_df_quadratic(tensor: COO, gather="take", accumulate="auto",
+                      factor_pairs="auto"):
     """Double-float tendency contraction
     ``f(xx_hi, xx_lo) -> (out_hi, out_lo)`` over the full (dummy-padded)
-    state, built on exact gathers + VPU double-float arithmetic.
+    state, built on exact gathers + VPU double-float arithmetic.  Works for
+    ANY tensor rank >= 2 — the rank-5 T4 / dynamic-T quartic tendencies run
+    through the same machinery (ref ``qgs/functions/sparse_mul.py:85-158``
+    runs them at full f64; this is the matching-precision fast tier).
 
-    Entries are split into linear (one gather + one product — the partner
-    index is the dummy-1 variable) and bilinear (two gathers + two
-    products) groups; each group's rows are compacted into count-buckets
-    (see :func:`_bucketed_layout`) and reduced per-row with a pairwise
-    tree.  The hi and lo components are gathered with ONE take per index
-    set from the concatenated (B, 2*n1) state (fewer gather kernels).
+    Entries are grouped by their number ``d`` of non-dummy trailing
+    indices (an index 0 gathers the exact constant ``x[0] == 1``, so
+    constants fold into the ``d = 1`` group): a group-``d`` entry costs
+    ``d`` gathers and ``d`` double-float products.  For rank 3 this is
+    exactly the linear/bilinear split; rank 5 adds cubic/quartic groups.
+    Each group's rows are compacted into count-buckets (see
+    :func:`_bucketed_layout`) and reduced per-row with a pairwise tree.
+    The hi and lo components are gathered with ONE take per index set from
+    the concatenated (B, 2*n1) state (fewer gather kernels).
 
     ``gather``: 'take' uses real gather ops (exact by definition);
     'matmul' uses one-hot matmuls at HIGHEST precision (the default TPU
@@ -407,142 +409,318 @@ def make_df_quadratic(tensor: COO, gather="take", accumulate="auto"):
     after every double-float op.  'auto' (default) picks 'fast' on TPU
     and 'strict' elsewhere: the XLA **CPU** backend strips the EFT
     barriers, which costs 'fast' the two-sum error terms entirely
-    (~1e-8 rel measured) while 'strict' degrades only mildly."""
+    (~1e-8 rel measured) while 'strict' degrades only mildly.
+
+    ``factor_pairs``: for groups with d >= 3 active indices (the quartic
+    T4 entries), factor the index products through a shared PAIR alphabet
+    (p_q = x_a * x_b computed once per evaluation): each slot then costs
+    ceil(d/2) gathers + ceil(d/2) df products instead of d of each — the
+    rank-5 analogue of "keep it factored" (SURVEY §7).  'auto' enables it
+    whenever such groups exist (gather='take' only); rank-3 tensors are
+    untouched."""
     n1 = tensor.shape[0]
-    if accumulate == "auto":
-        accumulate = "fast" if jax.default_backend() not in ("cpu",) else "strict"
-    mul = _sloppy_mul if accumulate == "fast" else df_mul
-    reduce_last = _sloppy_reduce_last if accumulate == "fast" else df_reduce_last
+    rank = tensor.rank
+    if rank < 2:
+        raise ValueError(f"need a tensor of rank >= 2, got rank {rank}")
+    accumulate = _resolve_accumulate(accumulate)
+    sloppy = accumulate == "fast"
+    mul = _sloppy_mul if sloppy else df_mul
+    reduce_last = _sloppy_reduce_last if sloppy else df_reduce_last
 
-    rows, j, k = (np.asarray(c) for c in tensor.coords)
-    lin_mask = (j == 0) | (k == 0)
+    coords = [np.asarray(c) for c in tensor.coords]
+    rows = coords[0]
     data = np.asarray(tensor.data)
-    # linear: the active index is whichever of (j, k) is nonzero (j + k,
-    # since the other is 0; constants gather index 0 -> x[0] == 1, exact)
-    lin_buckets, lin_perm = _bucketed_layout(
-        rows[lin_mask], data[lin_mask], [(j + k)[lin_mask]], n1)
-    bil_buckets, bil_perm = _bucketed_layout(
-        rows[~lin_mask], data[~lin_mask],
-        [j[~lin_mask], k[~lin_mask]], n1)
 
-    def _prep(buckets):
-        """Device constants per bucket: packed take indices (hi block then
-        lo block), one-hot matrices, double-float value pairs."""
-        prepped = []
-        for row_ids, vals, idxs, R_g in buckets:
-            flat = [a.reshape(-1) for a in idxs]
-            packed = [jnp.asarray(np.concatenate([a, a + n1])) for a in flat]
-            onehot = ([jnp.asarray(_one_hot_gather_matrix(a, n1))
-                       for a in idxs] if gather == "matmul" else None)
-            flat_vals = vals.reshape(-1)
-            vhi_np = np.asarray(flat_vals, np.float32)
-            shi_np, slo_np = _presplit(vhi_np)
-            vc = tuple(jnp.asarray(a, jnp.float32)[None, :] for a in
-                       (vhi_np, flat_vals - vhi_np.astype(np.float64),
-                        shi_np, slo_np))
-            prepped.append((row_ids.size, R_g, packed, onehot, vc))
-        return prepped
+    d_list = []
+    if rows.size:
+        trailing = np.stack(coords[1:], axis=0)            # (r-1, nnz)
+        d_of = np.maximum((trailing != 0).sum(axis=0), 1)
+        d_list = sorted(set(int(v) for v in d_of))
+    if factor_pairs == "auto":
+        factor_pairs = gather == "take" and any(d >= 3 for d in d_list)
+    if factor_pairs and gather != "take":
+        raise ValueError("factor_pairs requires gather='take'")
 
-    lin_prep = _prep(lin_buckets)
-    bil_prep = _prep(bil_buckets)
-    lin_perm_d = jnp.asarray(lin_perm)
-    bil_perm_d = jnp.asarray(bil_perm)
+    # shared pair alphabet across all factored groups: entry indices
+    # (i1..id) with d >= 3 become ceil(d/2) gathers of pair products
+    # p = x_a * x_b (plus one leftover single index when d is odd)
+    pair_ids = {}                                         # (a, b) -> id
 
-    def quad(xx):
-        """xx: (hi, lo) of shape (B, n1) -> (hi, lo) of shape (B, n1)."""
-        B = xx[0].shape[0]
-        cat = jnp.concatenate([xx[0], xx[1]], axis=1)       # (B, 2*n1)
+    def pair_id(a, b):
+        k = (int(a), int(b))
+        if k not in pair_ids:
+            pair_ids[k] = len(pair_ids)
+        return pair_ids[k]
 
-        def gath(packed_idx, G):
-            if gather == "take":
-                g = jnp.take(cat, packed_idx, axis=1)
-                half = packed_idx.shape[0] // 2
-                return g[:, :half], g[:, half:]
-            mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-            return mm(xx[0], G), mm(xx[1], G)
+    groups_ops, groups_desc, group_arrays = [], [], []
+    for d in d_list:
+        mask = d_of == d
+        sel = trailing[:, mask]
+        m = int(mask.sum())
+        if factor_pairs and d >= 3:
+            d_eff = (d + 1) // 2
+            idx_cols = np.zeros((d_eff, m), np.int64)
+            for e in range(m):
+                nzidx = sel[:, e][sel[:, e] != 0]
+                for h in range(d // 2):
+                    # pair ids offset past the state block (n1) — resolved
+                    # to absolute alphabet positions after the alphabet is
+                    # complete
+                    idx_cols[h, e] = n1 + pair_id(nzidx[2 * h],
+                                                  nzidx[2 * h + 1])
+                if d % 2:
+                    idx_cols[d_eff - 1, e] = nzidx[-1]
+        else:
+            d_eff = d
+            # the entry's d active indices in their original axis order,
+            # padded with 0 (exact x[0] == 1 gathers) for constants
+            idx_cols = np.zeros((d, m), np.int64)
+            for e in range(m):
+                nzidx = sel[:, e][sel[:, e] != 0]
+                idx_cols[:nzidx.size, e] = nzidx
+        group_arrays.append((d_eff, rows[mask], data[mask], idx_cols))
 
-        def assemble(prepped, perm_d, n_bilinear_idx):
-            """Run every bucket, concatenate, permute into (B, n1)."""
-            if not prepped:
-                return None
-            parts_hi, parts_lo = [], []
-            for N_g, R_g, packed, onehot, V in prepped:
-                sloppy = accumulate == "fast"
-                if n_bilinear_idx == 1:
-                    X = gath(packed[0], onehot and onehot[0])
-                    t = _mul_const(V, X, sloppy)
-                else:
-                    XJ = gath(packed[0], onehot and onehot[0])
-                    XK = gath(packed[1], onehot and onehot[1])
-                    t = mul(_mul_const(V, XJ, sloppy), XK)
-                s = reduce_last((t[0].reshape(B, N_g, R_g),
-                                 t[1].reshape(B, N_g, R_g)))
-                parts_hi.append(s[0])
-                parts_lo.append(s[1])
-            z = jnp.zeros((B, 1), jnp.float32)
-            hi = jnp.concatenate(parts_hi + [z], axis=1)
-            lo = jnp.concatenate(parts_lo + [z], axis=1)
-            # exact placement: each output row lives in exactly one bucket
-            return (jnp.take(hi, perm_d, axis=1),
-                    jnp.take(lo, perm_d, axis=1))
+    n_pairs = len(pair_ids)
+    n_ext = n1 + n_pairs                   # gather-alphabet width
+    pair_ab = np.zeros((2, max(n_pairs, 1)), np.int64)
+    for (a, b), q in pair_ids.items():
+        pair_ab[0, q], pair_ab[1, q] = a, b
 
-        out_l = assemble(lin_prep, lin_perm_d, 1)
-        out_b = assemble(bil_prep, bil_perm_d, 2)
-        if out_l is None and out_b is None:
-            z = jnp.zeros((B, n1), jnp.float32)
-            return z, z
-        if out_l is None:
-            return out_b
-        if out_b is None:
-            return out_l
-        return df_add(out_l, out_b)
+    for d_eff, g_rows, g_data, idx_cols in group_arrays:
+        buckets, perm = _bucketed_layout(g_rows, g_data, list(idx_cols), n1)
+        bops, bdesc = _df_prep_buckets(buckets, n_ext, gather)
+        groups_ops.append({"perm": jnp.asarray(_idx32(perm)),
+                           "buckets": bops})
+        groups_desc.append((d_eff, bdesc))
+    desc = tuple(groups_desc)
+    key = ("df_quad", n1, n_pairs, gather, accumulate, desc)
 
-    return quad
+    operands = {"groups": tuple(groups_ops)}
+    if n_pairs:
+        operands["pair_a"] = jnp.asarray(_idx32(pair_ab[0]))
+        operands["pair_b"] = jnp.asarray(_idx32(pair_ab[1]))
+
+    def build():
+        def apply(ops, xx):
+            """xx: (hi, lo) of shape (B, n1) -> (hi, lo) of shape (B, n1)."""
+            B = xx[0].shape[0]
+            if n_pairs:
+                # pair products in df, appended to the gather alphabet
+                pa, pb = ops["pair_a"], ops["pair_b"]
+                xa = (jnp.take(xx[0], pa, axis=1),
+                      jnp.take(xx[1], pa, axis=1))
+                xb = (jnp.take(xx[0], pb, axis=1),
+                      jnp.take(xx[1], pb, axis=1))
+                p = mul(xa, xb)
+                ext = (jnp.concatenate([xx[0], p[0]], axis=1),
+                       jnp.concatenate([xx[1], p[1]], axis=1))
+            else:
+                ext = xx
+            cat = jnp.concatenate([ext[0], ext[1]], axis=1)  # (B, 2*n_ext)
+
+            def gath(packed_idx, G):
+                if gather == "take":
+                    g = jnp.take(cat, packed_idx, axis=1)
+                    half = packed_idx.shape[0] // 2
+                    return g[:, :half], g[:, half:]
+                mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+                return mm(xx[0], G), mm(xx[1], G)
+
+            out = None
+            for (d, bdesc), gops in zip(desc, ops["groups"]):
+                parts_hi, parts_lo = [], []
+                for (N_g, R_g), bop in zip(bdesc, gops["buckets"]):
+                    onehot = bop.get("onehot")
+                    X = gath(bop["packed"][0], onehot and onehot[0])
+                    t = _mul_const(bop["vc"], X, sloppy)
+                    for q in range(1, d):
+                        t = mul(t, gath(bop["packed"][q],
+                                        onehot and onehot[q]))
+                    s = reduce_last((t[0].reshape(B, N_g, R_g),
+                                     t[1].reshape(B, N_g, R_g)))
+                    parts_hi.append(s[0])
+                    parts_lo.append(s[1])
+                z = jnp.zeros((B, 1), jnp.float32)
+                hi = jnp.concatenate(parts_hi + [z], axis=1)
+                lo = jnp.concatenate(parts_lo + [z], axis=1)
+                # exact placement: each row lives in exactly one bucket
+                g_out = (jnp.take(hi, gops["perm"], axis=1),
+                         jnp.take(lo, gops["perm"], axis=1))
+                out = g_out if out is None else df_add(out, g_out)
+            if out is None:
+                z = jnp.zeros((B, n1), jnp.float32)
+                return z, z
+            return out
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), operands, key)
+
+
+# ---------------------------------------------------------------------------
+# double-float Runge-Kutta steps
+# ---------------------------------------------------------------------------
+
+def _pad_dummy(y):
+    """Prepend the exact dummy-1 variable to a (hi, lo) state pair."""
+    B = y[0].shape[0]
+    one = jnp.ones((B, 1), jnp.float32)
+    zero = jnp.zeros((B, 1), jnp.float32)
+    return (jnp.concatenate([one, y[0]], axis=1),
+            jnp.concatenate([zero, y[1]], axis=1))
+
+
+def _axpy(y, c, k):
+    """y + c * k in double-float (c a scalar (hi, lo) pair)."""
+    ck = df_mul(k, (jnp.full_like(k[0], c[0]), jnp.full_like(k[0], c[1])))
+    return df_add(y, ck)
+
+
+def _df_split_scalar(dt):
+    """Traced float64 scalar -> (hi, lo) float32 pair (exact split)."""
+    dt64 = jnp.asarray(dt, jnp.float64)
+    hi = dt64.astype(jnp.float32)
+    return hi, (dt64 - hi.astype(jnp.float64)).astype(jnp.float32)
+
+
+def _check_explicit_tableau(a, b, c):
+    """Validate an explicit Butcher tableau for the double-float steps
+    (strictly lower-triangular ``a``); returns float64 arrays."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    c = np.asarray(c, np.float64)
+    s = len(b)
+    if a.shape != (s, s) or c.shape != (s,):
+        raise ValueError(
+            f"inconsistent Butcher tableau shapes: a {a.shape}, b ({s},), "
+            f"c {c.shape}")
+    if np.any(np.triu(a) != 0.0):
+        raise ValueError(
+            "precision='twofloat' supports explicit Runge-Kutta tableaux "
+            "only (a must be strictly lower triangular)")
+    return a, b, c
 
 
 def _df_rk4_core(tensor: COO, gather, accumulate):
-    """Shared internals of the fused double-float RK4 step: returns
-    ``step(y, dt_df, half_dt, sixth_dt)`` taking the timestep constants as
-    (hi, lo) scalar pairs."""
+    """Shared internals of the fused double-float RK4 step: a Contraction
+    ``apply(ops, y, dt_df, half_dt, sixth_dt)`` taking the timestep
+    constants as (hi, lo) scalar pairs."""
     quad = make_df_quadratic(tensor, gather=gather, accumulate=accumulate)
+    key = ("df_rk4_core", quad.key)
 
-    def pad_dummy(y):
-        B = y[0].shape[0]
-        one = jnp.ones((B, 1), jnp.float32)
-        zero = jnp.zeros((B, 1), jnp.float32)
-        return (jnp.concatenate([one, y[0]], axis=1),
-                jnp.concatenate([zero, y[1]], axis=1))
+    def build():
+        qa = quad.apply
 
-    def f(y):
-        out = quad(pad_dummy(y))
-        return out[0][:, 1:], out[1][:, 1:]
+        def f(ops, y):
+            out = qa(ops, _pad_dummy(y))
+            return out[0][:, 1:], out[1][:, 1:]
 
-    def axpy(y, c, k):
-        """y + c * k in double-float (c a scalar (hi, lo) pair)."""
-        ck = df_mul(k, (jnp.full_like(k[0], c[0]), jnp.full_like(k[0], c[1])))
-        return df_add(y, ck)
+        def apply(ops, y, dt_df, half_dt, sixth_dt):
+            k1 = f(ops, y)
+            k2 = f(ops, _axpy(y, half_dt, k1))
+            k3 = f(ops, _axpy(y, half_dt, k2))
+            k4 = f(ops, _axpy(y, dt_df, k3))
+            ksum = df_add(df_add(k1, k4),
+                          df_scale(df_add(k2, k3), jnp.float32(2.0)))
+            return _axpy(y, sixth_dt, ksum)
 
-    def step(y, dt_df, half_dt, sixth_dt):
-        k1 = f(y)
-        k2 = f(axpy(y, half_dt, k1))
-        k3 = f(axpy(y, half_dt, k2))
-        k4 = f(axpy(y, dt_df, k3))
-        ksum = df_add(df_add(k1, k4),
-                      df_scale(df_add(k2, k3), jnp.float32(2.0)))
-        return axpy(y, sixth_dt, ksum)
+        return apply
 
-    return step
+    return Contraction(_cached_apply(key, build), quad.operands, key)
 
 
 def make_df_rk4_step(tensor: COO, dt, gather="take", accumulate="auto"):
     """Fused double-float RK4 step over the batched model state
     ``y -> y_new`` with (hi, lo) pairs of shape (B, ndim); ``dt`` is baked
     in at build time (constants computed exactly on host)."""
-    step = _df_rk4_core(tensor, gather, accumulate)
-    dt_df = df_const(dt)
-    half_dt = df_const(dt / 2.0)
-    sixth_dt = df_const(dt / 6.0)
-    return lambda y: step(y, dt_df, half_dt, sixth_dt)
+    core = _df_rk4_core(tensor, gather, accumulate)
+    key = ("df_rk4_baked", core.key, float(dt))
+
+    def build():
+        ca = core.apply
+        dt_df = df_const(dt)
+        half_dt = df_const(dt / 2.0)
+        sixth_dt = df_const(dt / 6.0)
+
+        def apply(ops, y):
+            return ca(ops, y, dt_df, half_dt, sixth_dt)
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), core.operands, key)
+
+
+def make_df_rk4_step_dynamic(tensor: COO, gather="take", accumulate="auto"):
+    """Fused double-float RK4 step ``step(y, tt, dt) -> y_new`` taking the
+    timestep as a traced float64 scalar — the signature used by the generic
+    scan machinery (:func:`qgs_tpu.integrators.rk._scan_chunks`), so the
+    final (possibly shorter) grid step and backward integration work.  The
+    model is autonomous, ``tt`` is unused."""
+    core = _df_rk4_core(tensor, gather, accumulate)
+    key = ("df_rk4_dyn", core.key)
+
+    def build():
+        ca = core.apply
+
+        def apply(ops, y, tt, dt):
+            del tt
+            dt_df = _df_split_scalar(dt)
+            half_dt = (jnp.float32(0.5) * dt_df[0],
+                       jnp.float32(0.5) * dt_df[1])
+            sixth_dt = df_div_scalar(dt_df, 6.0)
+            return ca(ops, y, dt_df, half_dt, sixth_dt)
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), core.operands, key)
+
+
+def make_df_rk_step_dynamic(tensor: COO, a, b, c, gather="take",
+                            accumulate="auto"):
+    """Double-float RK step for an ARBITRARY explicit Butcher tableau
+    ``step(y, tt, dt) -> y_new`` (the reference integrates any explicit
+    tableau at full precision, ref ``qgs/integrators/integrate.py:29``;
+    this closes the twofloat tier's former RK4-only restriction).
+
+    Each tableau coefficient is split into an exact (hi, lo) pair on host;
+    the per-stage ``dt * a[i,l]`` products run as scalar double-float
+    multiplies (~2^-48 relative, consistent with the tier's promise).  The
+    RK4 tableau has a hand-fused fast path — use
+    :func:`make_df_rk4_step_dynamic` for it."""
+    a, b, c = _check_explicit_tableau(a, b, c)
+    quad = make_df_quadratic(tensor, gather=gather, accumulate=accumulate)
+    s = len(b)
+    key = ("df_rk_dyn", quad.key, a.tobytes(), b.tobytes(), c.tobytes())
+
+    def build():
+        qa = quad.apply
+        a_consts = [[df_const(float(a[i, l])) for l in range(s)]
+                    for i in range(s)]
+        b_consts = [df_const(float(b[i])) for i in range(s)]
+
+        def f(ops, y):
+            out = qa(ops, _pad_dummy(y))
+            return out[0][:, 1:], out[1][:, 1:]
+
+        def apply(ops, y, tt, dt):
+            del tt                       # every qgs tendency is autonomous
+            dt_df = _df_split_scalar(dt)
+            k = []
+            for i in range(s):
+                y_s = y
+                for l in range(i):
+                    if a[i, l] != 0.0:
+                        y_s = _axpy(y_s, df_mul(dt_df, a_consts[i][l]), k[l])
+                k.append(f(ops, y_s))
+            y_new = y
+            for i in range(s):
+                if b[i] != 0.0:
+                    y_new = _axpy(y_new, df_mul(dt_df, b_consts[i]), k[i])
+            return y_new
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), quad.operands, key)
 
 
 def make_df_tangent_contraction(jtensor: COO, adjoint=False, inverse=False,
@@ -567,12 +745,13 @@ def make_df_tangent_contraction(jtensor: COO, adjoint=False, inverse=False,
 
     ``adjoint`` transposes the Jacobian by swapping the scatter/gather mode
     indices on host; ``inverse`` negates the values on host — both exact,
-    zero runtime cost.  Works for any tensor rank >= 3 (the rank-5 T4 /
-    dynamic-T Jacobians gather the state at each trailing coordinate)."""
+    zero runtime cost, and both live purely in the operand values (every
+    variant of the same shape shares one compiled program).  Works for any
+    tensor rank >= 3 (the rank-5 T4 / dynamic-T Jacobians gather the state
+    at each trailing coordinate)."""
     n1 = jtensor.shape[0]
     n = n1 - 1
-    if accumulate == "auto":
-        accumulate = "fast" if jax.default_backend() not in ("cpu",) else "strict"
+    accumulate = _resolve_accumulate(accumulate)
     sloppy = accumulate == "fast"
     mul = _sloppy_mul if sloppy else df_mul
     reduce_last = _sloppy_reduce_last if sloppy else df_reduce_last
@@ -592,60 +771,66 @@ def make_df_tangent_contraction(jtensor: COO, adjoint=False, inverse=False,
 
     buckets, perm = _bucketed_layout(rows, vals, [dm_idx] + x_cols, n)
 
-    prepped = []
+    bops, bdesc = [], []
     for row_ids, bvals, idxs, R_g in buckets:
         dm_flat = idxs[0].reshape(-1)
-        packed_dm = jnp.asarray(np.concatenate([dm_flat, dm_flat + n]))
-        packed_xs = [jnp.asarray(np.concatenate([a.reshape(-1),
-                                                 a.reshape(-1) + n1]))
-                     for a in idxs[1:]]
-        flat_vals = bvals.reshape(-1)
-        vhi_np = np.asarray(flat_vals, np.float32)
-        shi_np, slo_np = _presplit(vhi_np)
-        vc = tuple(jnp.asarray(a, jnp.float32)[None, :] for a in
-                   (vhi_np, flat_vals - vhi_np.astype(np.float64),
-                    shi_np, slo_np))
-        prepped.append((row_ids.size, R_g, packed_dm, packed_xs, vc))
-    perm_d = jnp.asarray(perm)
+        bops.append({
+            "packed_dm": jnp.asarray(_idx32(
+                np.concatenate([dm_flat, dm_flat + n]))),
+            "packed_xs": tuple(jnp.asarray(_idx32(
+                np.concatenate([x.reshape(-1), x.reshape(-1) + n1])))
+                for x in idxs[1:]),
+            "vc": _df_value_consts(bvals.reshape(-1)),
+        })
+        bdesc.append((row_ids.size, R_g))
+    desc = tuple(bdesc)
+    key = ("df_tangent", n1, accumulate, len(coords) - 2, desc)
 
-    def hom(xx, dm):
-        """xx: df (B, n1); dm: df (B, n, n_tg) -> df (B, n, n_tg)."""
-        B = xx[0].shape[0]
-        n_tg = dm[0].shape[-1]
-        cat_x = jnp.concatenate([xx[0], xx[1]], axis=1)        # (B, 2*n1)
-        cat_dm = jnp.concatenate([dm[0], dm[1]], axis=1)       # (B, 2*n, t)
+    def build():
+        def apply(ops, xx, dm):
+            """xx: df (B, n1); dm: df (B, n, n_tg) -> df (B, n, n_tg)."""
+            B = xx[0].shape[0]
+            n_tg = dm[0].shape[-1]
+            cat_x = jnp.concatenate([xx[0], xx[1]], axis=1)     # (B, 2*n1)
+            cat_dm = jnp.concatenate([dm[0], dm[1]], axis=1)    # (B, 2*n, t)
 
-        parts_hi, parts_lo = [], []
-        for N_g, R_g, packed_dm, packed_xs, V in prepped:
-            # coefficient: val * prod_a xx[k_a]  (df, (B, N_g*R_g))
-            if packed_xs:
-                g = jnp.take(cat_x, packed_xs[0], axis=1)
-                half = packed_xs[0].shape[0] // 2
-                t = _mul_const(V, (g[:, :half], g[:, half:]), sloppy)
-                for pk in packed_xs[1:]:
-                    g = jnp.take(cat_x, pk, axis=1)
-                    half = pk.shape[0] // 2
-                    t = mul(t, (g[:, :half], g[:, half:]))
-            else:
-                t = (jnp.broadcast_to(V[0], (B, V[0].shape[1])),
-                     jnp.broadcast_to(V[1], (B, V[1].shape[1])))
-            # tangent gather: (B, N_g*R_g, n_tg)
-            gdm = jnp.take(cat_dm, packed_dm, axis=1)
-            half = packed_dm.shape[0] // 2
-            dmg = (gdm[:, :half], gdm[:, half:])
-            tt = mul((t[0][..., None], t[1][..., None]), dmg)
-            # reduce the R_g slots per output row
-            s = reduce_last((
-                tt[0].reshape(B, N_g, R_g, n_tg).swapaxes(-1, -2),
-                tt[1].reshape(B, N_g, R_g, n_tg).swapaxes(-1, -2)))
-            parts_hi.append(s[0])
-            parts_lo.append(s[1])
-        z = jnp.zeros((B, 1, n_tg), jnp.float32)
-        hi = jnp.concatenate(parts_hi + [z], axis=1)
-        lo = jnp.concatenate(parts_lo + [z], axis=1)
-        return (jnp.take(hi, perm_d, axis=1), jnp.take(lo, perm_d, axis=1))
+            parts_hi, parts_lo = [], []
+            for (N_g, R_g), bop in zip(desc, ops["buckets"]):
+                V = bop["vc"]
+                packed_xs = bop["packed_xs"]
+                # coefficient: val * prod_a xx[k_a]  (df, (B, N_g*R_g))
+                if packed_xs:
+                    g = jnp.take(cat_x, packed_xs[0], axis=1)
+                    half = packed_xs[0].shape[0] // 2
+                    t = _mul_const(V, (g[:, :half], g[:, half:]), sloppy)
+                    for pk in packed_xs[1:]:
+                        g = jnp.take(cat_x, pk, axis=1)
+                        half = pk.shape[0] // 2
+                        t = mul(t, (g[:, :half], g[:, half:]))
+                else:
+                    t = (jnp.broadcast_to(V[0], (B, V[0].shape[1])),
+                         jnp.broadcast_to(V[1], (B, V[1].shape[1])))
+                # tangent gather: (B, N_g*R_g, n_tg)
+                gdm = jnp.take(cat_dm, bop["packed_dm"], axis=1)
+                half = bop["packed_dm"].shape[0] // 2
+                dmg = (gdm[:, :half], gdm[:, half:])
+                tt = mul((t[0][..., None], t[1][..., None]), dmg)
+                # reduce the R_g slots per output row
+                s = reduce_last((
+                    tt[0].reshape(B, N_g, R_g, n_tg).swapaxes(-1, -2),
+                    tt[1].reshape(B, N_g, R_g, n_tg).swapaxes(-1, -2)))
+                parts_hi.append(s[0])
+                parts_lo.append(s[1])
+            z = jnp.zeros((B, 1, n_tg), jnp.float32)
+            hi = jnp.concatenate(parts_hi + [z], axis=1)
+            lo = jnp.concatenate(parts_lo + [z], axis=1)
+            return (jnp.take(hi, ops["perm"], axis=1),
+                    jnp.take(lo, ops["perm"], axis=1))
 
-    return hom
+        return apply
+
+    operands = {"buckets": tuple(bops), "perm": jnp.asarray(_idx32(perm))}
+    return Contraction(_cached_apply(key, build), operands, key)
 
 
 def df_matmul(A, B, sloppy=True):
@@ -726,42 +911,38 @@ def cholqr_df(M):
 
 def _df_tgls_rk4_core(tensor: COO, jtensor: COO, adjoint, inverse,
                       gather, accumulate):
-    """Shared internals of the fused double-float TGLS RK4 step: returns
-    ``step((y, dm), dt_df, half_dt, sixth_dt)`` propagating the coupled
-    (trajectory, tangent/fundamental-matrix) system in double-float
-    (ref ``qgs/integrators/integrate.py:556-614``)."""
+    """Shared internals of the fused double-float TGLS RK4 step: a
+    Contraction ``apply(ops, (y, dm), dt_df, half_dt, sixth_dt)``
+    propagating the coupled (trajectory, tangent/fundamental-matrix) system
+    in double-float (ref ``qgs/integrators/integrate.py:556-614``)."""
     quad = make_df_quadratic(tensor, gather=gather, accumulate=accumulate)
     tang = make_df_tangent_contraction(jtensor, adjoint=adjoint,
                                        inverse=inverse, accumulate=accumulate)
+    key = ("df_tgls_core", quad.key, tang.key)
+    operands = {"q": quad.operands, "tg": tang.operands}
 
-    def pad_dummy(y):
-        B = y[0].shape[0]
-        one = jnp.ones((B, 1), jnp.float32)
-        zero = jnp.zeros((B, 1), jnp.float32)
-        return (jnp.concatenate([one, y[0]], axis=1),
-                jnp.concatenate([zero, y[1]], axis=1))
+    def build():
+        qa, ta = quad.apply, tang.apply
 
-    def rhs(y, dm):
-        xx = pad_dummy(y)
-        out = quad(xx)
-        return (out[0][:, 1:], out[1][:, 1:]), tang(xx, dm)
+        def rhs(ops, y, dm):
+            xx = _pad_dummy(y)
+            out = qa(ops["q"], xx)
+            return (out[0][:, 1:], out[1][:, 1:]), ta(ops["tg"], xx, dm)
 
-    def axpy(y, c, k):
-        ck = df_mul(k, (jnp.full_like(k[0], c[0]), jnp.full_like(k[0], c[1])))
-        return df_add(y, ck)
+        def apply(ops, carry, dt_df, half_dt, sixth_dt):
+            y, dm = carry
+            k1, m1 = rhs(ops, y, dm)
+            k2, m2 = rhs(ops, _axpy(y, half_dt, k1), _axpy(dm, half_dt, m1))
+            k3, m3 = rhs(ops, _axpy(y, half_dt, k2), _axpy(dm, half_dt, m2))
+            k4, m4 = rhs(ops, _axpy(y, dt_df, k3), _axpy(dm, dt_df, m3))
+            two = jnp.float32(2.0)
+            ks = df_add(df_add(k1, k4), df_scale(df_add(k2, k3), two))
+            ms = df_add(df_add(m1, m4), df_scale(df_add(m2, m3), two))
+            return _axpy(y, sixth_dt, ks), _axpy(dm, sixth_dt, ms)
 
-    def step(carry, dt_df, half_dt, sixth_dt):
-        y, dm = carry
-        k1, m1 = rhs(y, dm)
-        k2, m2 = rhs(axpy(y, half_dt, k1), axpy(dm, half_dt, m1))
-        k3, m3 = rhs(axpy(y, half_dt, k2), axpy(dm, half_dt, m2))
-        k4, m4 = rhs(axpy(y, dt_df, k3), axpy(dm, dt_df, m3))
-        two = jnp.float32(2.0)
-        ks = df_add(df_add(k1, k4), df_scale(df_add(k2, k3), two))
-        ms = df_add(df_add(m1, m4), df_scale(df_add(m2, m3), two))
-        return axpy(y, sixth_dt, ks), axpy(dm, sixth_dt, ms)
+        return apply
 
-    return step
+    return Contraction(_cached_apply(key, build), operands, key)
 
 
 def make_df_tgls_rk4_step(tensor: COO, jtensor: COO, dt, adjoint=False,
@@ -770,12 +951,22 @@ def make_df_tgls_rk4_step(tensor: COO, jtensor: COO, dt, adjoint=False,
     lo) pairs of shape (B, ndim) / (B, ndim, n_tg); ``dt`` baked in (its
     double-float split computed exactly on host).  The model is autonomous
     (every qgs tendency ignores t), so no time argument is carried."""
-    step = _df_tgls_rk4_core(tensor, jtensor, adjoint, inverse, gather,
+    core = _df_tgls_rk4_core(tensor, jtensor, adjoint, inverse, gather,
                              accumulate)
-    dt_df = df_const(dt)
-    half_dt = df_const(dt / 2.0)
-    sixth_dt = df_const(dt / 6.0)
-    return lambda carry: step(carry, dt_df, half_dt, sixth_dt)
+    key = ("df_tgls_baked", core.key, float(dt))
+
+    def build():
+        ca = core.apply
+        dt_df = df_const(dt)
+        half_dt = df_const(dt / 2.0)
+        sixth_dt = df_const(dt / 6.0)
+
+        def apply(ops, carry):
+            return ca(ops, carry, dt_df, half_dt, sixth_dt)
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), core.operands, key)
 
 
 def make_df_tgls_rk4_step_dynamic(tensor: COO, jtensor: COO, adjoint=False,
@@ -784,36 +975,76 @@ def make_df_tgls_rk4_step_dynamic(tensor: COO, jtensor: COO, adjoint=False,
     """Fused double-float TGLS RK4 step ``step(carry, tt, dt) -> carry`` with
     the timestep as a traced float64 scalar — the signature used by
     :func:`qgs_tpu.integrators.rk._scan_chunks`."""
-    step = _df_tgls_rk4_core(tensor, jtensor, adjoint, inverse, gather,
+    core = _df_tgls_rk4_core(tensor, jtensor, adjoint, inverse, gather,
                              accumulate)
+    key = ("df_tgls_dyn", core.key)
 
-    def dyn_step(carry, tt, dt):
-        del tt
-        dt64 = jnp.asarray(dt, jnp.float64)
-        hi = dt64.astype(jnp.float32)
-        dt_df = (hi, (dt64 - hi.astype(jnp.float64)).astype(jnp.float32))
-        half_dt = (jnp.float32(0.5) * dt_df[0], jnp.float32(0.5) * dt_df[1])
-        sixth_dt = df_div_scalar(dt_df, 6.0)
-        return step(carry, dt_df, half_dt, sixth_dt)
+    def build():
+        ca = core.apply
 
-    return dyn_step
+        def apply(ops, carry, tt, dt):
+            del tt
+            dt_df = _df_split_scalar(dt)
+            half_dt = (jnp.float32(0.5) * dt_df[0],
+                       jnp.float32(0.5) * dt_df[1])
+            sixth_dt = df_div_scalar(dt_df, 6.0)
+            return ca(ops, carry, dt_df, half_dt, sixth_dt)
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), core.operands, key)
 
 
-def make_df_rk4_step_dynamic(tensor: COO, gather="take", accumulate="auto"):
-    """Fused double-float RK4 step ``step(y, tt, dt) -> y_new`` taking the
-    timestep as a traced float64 scalar — the signature used by the generic
-    scan machinery (:func:`qgs_tpu.integrators.rk._scan_chunks`), so the
-    final (possibly shorter) grid step and backward integration work.  The
-    model is autonomous, ``tt`` is unused."""
-    step = _df_rk4_core(tensor, gather, accumulate)
+def make_df_tgls_rk_step_dynamic(tensor: COO, jtensor: COO, a, b, c,
+                                 adjoint=False, inverse=False, gather="take",
+                                 accumulate="auto"):
+    """Double-float TGLS step for an ARBITRARY explicit Butcher tableau
+    ``step((y, dm), tt, dt) -> (y', dm')`` — the coupled analogue of
+    :func:`make_df_rk_step_dynamic` (tableau coefficients split exactly on
+    host, ``dt * coeff`` as scalar double-float products)."""
+    a, b, c = _check_explicit_tableau(a, b, c)
+    quad = make_df_quadratic(tensor, gather=gather, accumulate=accumulate)
+    tang = make_df_tangent_contraction(jtensor, adjoint=adjoint,
+                                       inverse=inverse, accumulate=accumulate)
+    s = len(b)
+    key = ("df_tgls_rk_dyn", quad.key, tang.key, a.tobytes(), b.tobytes(),
+           c.tobytes())
+    operands = {"q": quad.operands, "tg": tang.operands}
 
-    def dyn_step(y, tt, dt):
-        del tt
-        dt64 = jnp.asarray(dt, jnp.float64)
-        hi = dt64.astype(jnp.float32)
-        dt_df = (hi, (dt64 - hi.astype(jnp.float64)).astype(jnp.float32))
-        half_dt = (jnp.float32(0.5) * dt_df[0], jnp.float32(0.5) * dt_df[1])
-        sixth_dt = df_div_scalar(dt_df, 6.0)
-        return step(y, dt_df, half_dt, sixth_dt)
+    def build():
+        qa, ta = quad.apply, tang.apply
+        a_consts = [[df_const(float(a[i, l])) for l in range(s)]
+                    for i in range(s)]
+        b_consts = [df_const(float(b[i])) for i in range(s)]
 
-    return dyn_step
+        def rhs(ops, y, dm):
+            xx = _pad_dummy(y)
+            out = qa(ops["q"], xx)
+            return (out[0][:, 1:], out[1][:, 1:]), ta(ops["tg"], xx, dm)
+
+        def apply(ops, carry, tt, dt):
+            del tt
+            y, dm = carry
+            dt_df = _df_split_scalar(dt)
+            k, km = [], []
+            for i in range(s):
+                y_s, dm_s = y, dm
+                for l in range(i):
+                    if a[i, l] != 0.0:
+                        cdf = df_mul(dt_df, a_consts[i][l])
+                        y_s = _axpy(y_s, cdf, k[l])
+                        dm_s = _axpy(dm_s, cdf, km[l])
+                ki, mi = rhs(ops, y_s, dm_s)
+                k.append(ki)
+                km.append(mi)
+            y_new, dm_new = y, dm
+            for i in range(s):
+                if b[i] != 0.0:
+                    cdf = df_mul(dt_df, b_consts[i])
+                    y_new = _axpy(y_new, cdf, k[i])
+                    dm_new = _axpy(dm_new, cdf, km[i])
+            return y_new, dm_new
+
+        return apply
+
+    return Contraction(_cached_apply(key, build), operands, key)

@@ -43,7 +43,7 @@ def _window_key(df_mode, f, fjac, tensors, dt, mdt, tableau, adjoint,
     the tendency functions / tensors — see the rk.py scan-cache notes)."""
     tb = _tableau_key(*(tableau if tableau is not None else rk4_tableau()))
     if df_mode:
-        return ('df', tensors[0], tensors[1], dt, mdt, adjoint, inverse)
+        return ('df', tensors[0], tensors[1], dt, mdt, tb, adjoint, inverse)
     tkey = tensors[1] if tensors is not None else None
     return (f, fjac, tkey, dt, mdt, tb, adjoint, inverse)
 
@@ -154,16 +154,22 @@ def _check_df_args(tensors, tableau):
             "jacobian_tensor) — e.g. (f.qgtensor.tensor, "
             "f.qgtensor.jacobian_tensor) from create_tendencies")
     if tableau is not None:
-        a_r, b_r, c_r = rk4_tableau()
-        ta, tb, tc = tableau
-        if not (np.allclose(ta, a_r) and np.allclose(tb, b_r)
-                and np.allclose(tc, c_r)):
-            raise ValueError("precision='twofloat' supports the default RK4 "
-                             "tableau only")
+        # any explicit tableau is supported (RK4 uses the fused fast path)
+        from qgs_tpu.ops.twofloat import _check_explicit_tableau
+        _check_explicit_tableau(*tableau)
+
+
+def _is_rk4(tableau):
+    if tableau is None:
+        return True
+    a_r, b_r, c_r = rk4_tableau()
+    ta, tb, tc = tableau
+    return (np.shape(ta) == a_r.shape and np.allclose(ta, a_r)
+            and np.allclose(tb, b_r) and np.allclose(tc, c_r))
 
 
 def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
-                        backward=False, qr_method="auto"):
+                        backward=False, qr_method="auto", tableau=None):
     """Double-float Benettin window: the (y, Q) tangent propagation runs in
     double-float (2x float32) arithmetic (:mod:`qgs_tpu.ops.twofloat`), the
     per-window QR re-orthonormalization in float64 (the df->f64 conversion
@@ -180,15 +186,23 @@ def make_window_step_df(tensor, jtensor, dt, mdt, adjoint=False, inverse=False,
     window budget), vs ~1e-13-accurate df-matmul CholeskyQR at a few ms —
     and the native-f64 Householder on CPU (fast and exact)."""
     from qgs_tpu.ops.twofloat import (cholqr_df, df_from_f64, df_to_f64,
-                                      make_df_tgls_rk4_step)
+                                      make_df_tgls_rk4_step,
+                                      make_df_tgls_rk_step_dynamic)
 
     if qr_method == "auto":
         qr_method = ("mixed" if jax.default_backend() == "tpu"
                      else "householder")
     n_sub = _n_sub(dt, mdt)
     h = -mdt if backward else mdt
-    step = make_df_tgls_rk4_step(tensor, jtensor, h, adjoint=adjoint,
-                                 inverse=inverse)
+    if _is_rk4(tableau):
+        step = make_df_tgls_rk4_step(tensor, jtensor, h, adjoint=adjoint,
+                                     inverse=inverse)
+    else:
+        # arbitrary explicit tableau: the generic df step with the window
+        # substep baked in (constant-folded at trace time, exact split)
+        dyn = make_df_tgls_rk_step_dynamic(tensor, jtensor, *tableau,
+                                           adjoint=adjoint, inverse=inverse)
+        step = lambda carry: dyn(carry, 0.0, h)
 
     def window(carry, tt):
         del tt                       # the model is autonomous
@@ -299,7 +313,7 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     def build():
         if df_mode:
             window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
-                                         adjoint, inverse)
+                                         adjoint, inverse, tableau=tableau)
         else:
             tangent = None
             if tensors is not None:
@@ -403,9 +417,15 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
     def build():
         if df_mode:
             window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
-                                         adjoint, inverse, backward=True)
-            fwd_df = make_df_rk4_step(tensors[0], mdt)
-            fwd_sub = lambda y2, ts: fwd_df(y2)
+                                         adjoint, inverse, backward=True,
+                                         tableau=tableau)
+            if _is_rk4(tableau):
+                fwd_df = make_df_rk4_step(tensors[0], mdt)
+                fwd_sub = lambda y2, ts: fwd_df(y2)
+            else:
+                from qgs_tpu.ops.twofloat import make_df_rk_step_dynamic
+                fwd_dyn = make_df_rk_step_dynamic(tensors[0], *tableau)
+                fwd_sub = lambda y2, ts: fwd_dyn(y2, 0.0, mdt)
         else:
             tangent = None
             if tensors is not None:
@@ -560,7 +580,8 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
 
     def build():
         if df_mode:
-            window = make_window_step_df(tensors[0], tensors[1], dt, mdt)
+            window = make_window_step_df(tensors[0], tensors[1], dt, mdt,
+                                         tableau=tableau)
         else:
             tangent = None
             if tensors is not None:

@@ -242,11 +242,12 @@ def test_df_tgls_integrator_class(maooam):
     _, ic = integrate_runge_kutta(f.batched, 0., 100., 0.1, ic, write_steps=0)
     ic = np.asarray(ic)
 
-    # needs Df too — rebuild from the same params to get both functions
+    # needs Df too — rebuild the (f, Df) PAIR so they share one qgtensor
+    # (a jacobian built separately is treated as a custom fjac and
+    # rejected by the twofloat guard, see test_operand_threading)
+    f2, fjac, _ = _ct(pars, return_qgtensor=True)
+    f = f2
     integ = RungeKuttaTglsIntegrator(precision="twofloat")
-    from qgs_tpu.ops.contraction import make_tendency_fns
-    _, jac_b = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor)
-    fjac = jac_b
     integ.set_func(f, fjac)
     integ.integrate(0., 5., 0.1, ic=ic, tg_ic=np.eye(pars.ndim), write_steps=5)
     t, traj, fmat = integ.get_trajectories()
@@ -318,3 +319,54 @@ def test_cholqr_df(maooam):
 
     d = np.abs(run_variant("householder") - run_variant("mixed")).max()
     assert d < 2e-8, d
+
+
+def test_df_arbitrary_tableau(maooam):
+    """VERDICT r03 #8: the double-float tier must accept any explicit
+    Butcher tableau (the reference integrates arbitrary tableaux at full
+    precision, ref ``qgs/integrators/integrate.py:29``).  RK2 (Heun) df
+    vs ambient-f64 RK2 over 50 steps."""
+    from qgs_tpu.integrators.rk import (integrate_runge_kutta,
+                                        integrate_runge_kutta_df,
+                                        rk2_tableau)
+
+    pars, f, tensor = maooam
+    rng = np.random.default_rng(11)
+    x0 = rng.random((3, pars.ndim)) * 0.05
+    a2, b2, c2 = rk2_tableau()
+
+    _, y64 = integrate_runge_kutta(f.batched, 0., 5., 0.1, x0,
+                                   write_steps=0, a=a2, b=b2, c=c2)
+    _, ydf = integrate_runge_kutta_df(tensor.tensor, 0., 5., 0.1, x0,
+                                      write_steps=0, squeeze=False,
+                                      a=a2, b=b2, c=c2)
+    err = np.abs(np.asarray(ydf) - np.asarray(y64)).max()
+    assert err < 1e-9, err
+    # RK2 and RK4 genuinely differ (the tableau is honored, not ignored)
+    _, y4 = integrate_runge_kutta_df(tensor.tensor, 0., 5., 0.1, x0,
+                                     write_steps=0, squeeze=False)
+    assert np.abs(np.asarray(y4) - np.asarray(ydf)).max() > 1e-6
+
+
+def test_df_integrator_rk2_precision_twofloat(maooam):
+    """RungeKuttaIntegrator(precision='twofloat') with a non-RK4 tableau
+    (formerly rejected); implicit tableaux still raise."""
+    from qgs_tpu.integrators.integrator import RungeKuttaIntegrator
+    from qgs_tpu.integrators.rk import rk2_tableau
+
+    pars, f, tensor = maooam
+    a2, b2, c2 = rk2_tableau()
+    integ = RungeKuttaIntegrator(a=a2, b=b2, c=c2, precision="twofloat")
+    integ.set_func(f)
+    x0 = np.full(pars.ndim, 0.01)
+    integ.integrate(0., 1., 0.1, ic=x0, write_steps=0)
+    _, y = integ.get_trajectories()
+    assert np.all(np.isfinite(np.asarray(y)))
+
+    # implicit (non-strictly-lower-triangular a) must be rejected clearly
+    a_imp = np.array([[0.5]])
+    integ2 = RungeKuttaIntegrator(a=a_imp, b=np.array([1.0]),
+                                  c=np.array([0.5]), precision="twofloat")
+    integ2.set_func(f)
+    with pytest.raises(ValueError, match="explicit"):
+        integ2.integrate(0., 1., 0.1, ic=x0, write_steps=0)

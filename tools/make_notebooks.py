@@ -189,14 +189,42 @@ def notebook(doc, intro, blocks):
     }
 
 
+def _has_outputs(path):
+    try:
+        nb = json.loads(path.read_text())
+    except Exception:
+        return False
+    return any(c.get("outputs") for c in nb.get("cells", [])
+               if c.get("cell_type") == "code")
+
+
 def main():
+    """Regenerate the notebooks from the example scripts.
+
+    EXECUTED notebooks are never silently overwritten (round 3 lost 10
+    notebooks' committed outputs exactly this way): a target that already
+    carries outputs is skipped unless ``--force`` is passed — and with
+    ``--force`` you are expected to re-run ``tools/run_notebooks.py``
+    afterwards (the repo test suite asserts every committed notebook is
+    executed)."""
+    import sys
+
+    force = "--force" in sys.argv[1:]
     OUT.mkdir(exist_ok=True)
+    skipped = []
     for script, (nb_name, intro) in CATALOG.items():
+        out = OUT / nb_name
+        if out.exists() and _has_outputs(out) and not force:
+            skipped.append(nb_name)
+            continue
         doc, blocks = cells_from_script(EXAMPLES / script)
         nb = notebook(doc, intro, blocks)
-        out = OUT / nb_name
         out.write_text(json.dumps(nb, indent=1) + "\n")
         print(f"{script} -> notebooks/{nb_name} ({len(blocks)} code cells)")
+    if skipped:
+        print(f"skipped {len(skipped)} executed notebook(s) "
+              f"(pass --force to overwrite, then re-execute them): "
+              + ", ".join(skipped))
 
 
 if __name__ == "__main__":
