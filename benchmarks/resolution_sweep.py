@@ -78,7 +78,10 @@ def sizing(ndim):
     # observed); cap the batch instead
     if ndim <= 500:
         return 1024, 128, None, None, 300, 30
-    return 256, 48, None, None, 200, 20
+    # dense MFU needs the matmul's M dimension (the batch) at or above the
+    # 128-row MXU tile — B=48 measured 35-40% MFU at ndim 600-754, vs
+    # 54.5% at ndim 420 with B=128
+    return 256, 128, None, None, 200, 10
 
 
 def build(na, no):
@@ -144,7 +147,14 @@ def time_loop(run, y0, repeats=REPEATS):
 _RUNNER_CACHE = {}
 
 
-def make_xla_runner(tensor, mode, dtype, steps):
+def run_dt(ndim):
+    """Benchmark step size: throughput is dt-independent, but the run must
+    stay finite — the small-scale modes of high truncations make dt=0.1
+    RK4-unstable from ndim ~500 (observed: non-finite states at ndim 600)."""
+    return 0.1 if ndim <= 500 else 0.005
+
+
+def make_xla_runner(tensor, mode, dtype, steps, dt=0.1):
     """Compiled fori-loop RK4 runner with the tendency tensor threaded as a
     jit ARGUMENT (cached per structural key: a same-shape model with new
     parameter values reuses the executable — the recompile_check section
@@ -158,9 +168,9 @@ def make_xla_runner(tensor, mode, dtype, steps):
                                mode=mode, dtype=dtype)
     a, b, c = rk4_tableau()
     apply = f_b.apply
-    dt = jnp.asarray(0.1, dtype)
+    dt = jnp.asarray(dt, dtype)
 
-    ck = (f_b.key, steps)
+    ck = (f_b.key, steps, float(dt))
     jitted = _RUNNER_CACHE.get(ck)
     if jitted is None:
         def run_impl(ops, y):
@@ -206,7 +216,7 @@ def point(config, path, ndim, stats, B, steps, times, platform, extra=None):
             rec["mfu_vs_bf16_peak"] = achieved / V5E_PEAK_BF16_TFLOPS
             rec["mfu_vs_exact_f32_ceiling"] = achieved / (
                 V5E_PEAK_BF16_TFLOPS / EXACT_F32_PASSES)
-    if path in ("coo", "coo_fm", "t4", "t4_rowsum", "t4_pairsum"):
+    if path in ("coo", "coo_fm", "coo_b", "t4", "t4_rowsum", "t4_pairsum"):
         # roofline: per stage the rowsum kernel touches ~3 padded slots of
         # 4 bytes per output element (two index gathers of the state + the
         # value lane) — the honest traffic bound of a gather-dominated op
@@ -259,11 +269,13 @@ def main():
               f"(built in {time.time()-t0:.0f}s)", flush=True)
         rng = np.random.default_rng(0)
 
-        for pkey, mode in (("coo", "rowsum"), ("coo_fm", "rowsum_fm")):
+        for pkey, mode in (("coo", "rowsum"), ("coo_fm", "rowsum_fm"),
+                           ("coo_b", "bucketed")):
             if pkey not in paths:
                 continue
             try:
-                run = make_xla_runner(tensor, mode, jnp.float32, st_coo)
+                run = make_xla_runner(tensor, mode, jnp.float32, st_coo,
+                                      dt=run_dt(ndim))
                 y0 = jnp.asarray(rng.random((B_coo, ndim)) * 0.01,
                                  jnp.float32)
                 times = time_loop(run, y0)
@@ -280,7 +292,8 @@ def main():
 
         if "dense" in paths:
             try:
-                run = make_xla_runner(tensor, "dense", jnp.float32, st_dense)
+                run = make_xla_runner(tensor, "dense", jnp.float32,
+                                      st_dense, dt=run_dt(ndim))
                 y0 = jnp.asarray(rng.random((B_dense, ndim)) * 0.01,
                                  jnp.float32)
                 times = time_loop(run, y0)

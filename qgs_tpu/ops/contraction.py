@@ -277,6 +277,189 @@ def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     return Contraction(_cached_apply(key, build), operands, key)
 
 
+def _bucketed_layout(rows, data, idx_cols, n1):
+    """Compact a group's entries into count-buckets.
+
+    A flat (n1, R_max) layout wastes 1.6-3.1x of its slots on zero padding
+    for the qgs tensors (per-row counts are skewed — measured in
+    RESOLUTION_r04.json ``padded_slots``), and every padding slot costs
+    real gather traffic.  Instead, rows are bucketed by entry count (one
+    bucket per distinct count — fully dense) and each bucket gets its own
+    (n_rows_g, R_g) layout over only its own rows; empty rows occupy
+    nothing.  Results are re-assembled into the (B, n1) output with a
+    static column permutation (each row lives in exactly one bucket, so
+    assembly is exact placement, no accumulation).
+
+    Returns ``(buckets, perm)`` where each bucket is
+    ``(row_ids, vals (N_g, R_g), [idx arrays (N_g, R_g)...], R_g)`` and
+    ``perm`` maps output column i to its position in the concatenated
+    bucket results (with one trailing zero column for empty rows)."""
+    counts = np.bincount(rows, minlength=n1)
+    buckets = []
+    if rows.size:
+        thresholds = sorted(set(int(c) for c in counts if c > 0))
+        by_thr = {}
+        for i in np.nonzero(counts)[0]:
+            tg = next(t for t in thresholds if t >= counts[i])
+            by_thr.setdefault(tg, []).append(int(i))
+        for R_g in sorted(by_thr):
+            row_ids = np.asarray(by_thr[R_g])
+            pos = {r: p for p, r in enumerate(row_ids)}
+            vals = np.zeros((row_ids.size, R_g))
+            idxs = [np.zeros((row_ids.size, R_g), np.int64)
+                    for _ in idx_cols]
+            ptr = np.zeros(row_ids.size, np.int64)
+            for e in range(rows.size):
+                p = pos.get(int(rows[e]))
+                if p is None:
+                    continue
+                vals[p, ptr[p]] = data[e]
+                for out, col in zip(idxs, idx_cols):
+                    out[p, ptr[p]] = col[e]
+                ptr[p] += 1
+            buckets.append((row_ids, vals, idxs, R_g))
+    n_cols = sum(b[0].size for b in buckets)
+    perm = np.full(n1, n_cols, np.int64)          # default: the zero column
+    off = 0
+    for row_ids, *_ in buckets:
+        perm[row_ids] = off + np.arange(row_ids.size)
+        off += row_ids.size
+    return buckets, perm
+
+
+def _active_index_groups(tensor, factor_pairs):
+    """Group the tensor's entries by their number ``d`` of non-dummy
+    trailing indices (index 0 gathers the exact constant x[0] == 1, so
+    pure constants fold into d = 1 by gathering index 0).  With
+    ``factor_pairs``, groups with d >= 3 are rewritten through a shared
+    pair alphabet: ceil(d/2) gathers of precomputed pair products
+    p = x_a * x_b instead of d state gathers.
+
+    Returns ``(groups, pair_ab, n_ext)`` with groups a list of
+    ``(d_eff, rows, data, idx_cols (d_eff, m))``; index values >= n1
+    reference the pair block of the extended gather alphabet
+    ``[x, p]`` of width ``n_ext``."""
+    n1 = tensor.shape[0]
+    coords = [np.asarray(c) for c in tensor.coords]
+    rows = coords[0]
+    data = np.asarray(tensor.data)
+    groups = []
+    pair_ids = {}
+
+    def pair_id(a, b):
+        k = (int(a), int(b))
+        if k not in pair_ids:
+            pair_ids[k] = len(pair_ids)
+        return pair_ids[k]
+
+    if rows.size:
+        trailing = np.stack(coords[1:], axis=0)
+        d_of = np.maximum((trailing != 0).sum(axis=0), 1)
+        for d in sorted(set(int(v) for v in d_of)):
+            mask = d_of == d
+            sel = trailing[:, mask]
+            m = int(mask.sum())
+            if factor_pairs and d >= 3:
+                d_eff = (d + 1) // 2
+                idx_cols = np.zeros((d_eff, m), np.int64)
+                for e in range(m):
+                    nz = sel[:, e][sel[:, e] != 0]
+                    for h in range(d // 2):
+                        idx_cols[h, e] = n1 + pair_id(nz[2 * h],
+                                                      nz[2 * h + 1])
+                    if d % 2:
+                        idx_cols[d_eff - 1, e] = nz[-1]
+            else:
+                d_eff = d
+                idx_cols = np.zeros((d, m), np.int64)
+                for e in range(m):
+                    nz = sel[:, e][sel[:, e] != 0]
+                    idx_cols[:nz.size, e] = nz
+            groups.append((d_eff, rows[mask], data[mask], idx_cols))
+    n_pairs = len(pair_ids)
+    pair_ab = np.zeros((2, max(n_pairs, 1)), np.int64)
+    for (a, b), q in pair_ids.items():
+        pair_ab[0, q], pair_ab[1, q] = a, b
+    return groups, (pair_ab if n_pairs else None), n1 + n_pairs
+
+
+def make_bucketed_contraction(tensor: COO, dtype=None, factor_pairs="auto"):
+    """Count-bucketed gather row-sum contraction (any rank >= 2): the
+    zero-padding-free float analogue of the double-float kernel's layout.
+
+    The plain rowsum layout pads every row to the maximum count R — 1.6x
+    (MAOOAM) to 3.1x (T4 quartic) wasted slots, each costing real gather
+    traffic on a gather-issue-bound path (the measured ~245 GB/s plateau
+    is layout-insensitive: RESOLUTION_r04 ``gather_bm``/``gather_fm``
+    microbenchmarks).  Bucketing rows by exact count removes the padding
+    entirely, cutting the dominant traffic by the same factor.  Entries
+    are additionally grouped by active-index count d (constants/linear/
+    bilinear/...) so each group does only the gathers it needs, and rank-5
+    quartic groups are pair-factored through a shared pair alphabet
+    (``factor_pairs``, default on for d >= 3 — see
+    :func:`make_pairsum_contraction`).
+
+    Deterministic summation (fixed slot order per row); exact-placement
+    reassembly via a static permutation."""
+    dtype = dtype or _default_dtype()
+    n1 = tensor.shape[0]
+    if tensor.nnz == 0:
+        return _empty_contraction(n1, dtype)
+    if factor_pairs == "auto":
+        factor_pairs = tensor.rank >= 4
+
+    groups, pair_ab, n_ext = _active_index_groups(tensor, factor_pairs)
+
+    groups_ops, groups_desc = [], []
+    for d_eff, g_rows, g_data, idx_cols in groups:
+        buckets, perm = _bucketed_layout(g_rows, g_data, list(idx_cols), n1)
+        bops, bdesc = [], []
+        for row_ids, vals, idxs, R_g in buckets:
+            bops.append({
+                "V": jnp.asarray(vals.reshape(-1), dtype=dtype),
+                "idx": tuple(jnp.asarray(_idx(a.reshape(-1)))
+                             for a in idxs),
+            })
+            bdesc.append((row_ids.size, R_g))
+        groups_ops.append({"perm": jnp.asarray(_idx(perm)),
+                           "buckets": tuple(bops)})
+        groups_desc.append((d_eff, tuple(bdesc)))
+    desc = tuple(groups_desc)
+    n_pairs = 0 if pair_ab is None else pair_ab.shape[1]
+    key = ("bucketed", n1, n_pairs, desc, _dtype_key(dtype))
+
+    def build():
+        def apply(ops, xx):
+            B = xx.shape[0]
+            if n_pairs:
+                p = (jnp.take(xx, ops["pair_a"], axis=1)
+                     * jnp.take(xx, ops["pair_b"], axis=1))
+                ext = jnp.concatenate([xx, p], axis=1)       # (B, n_ext)
+            else:
+                ext = xx
+            out = None
+            for (d_eff, bdesc), gops in zip(desc, ops["groups"]):
+                parts = []
+                for (N_g, R_g), bop in zip(bdesc, gops["buckets"]):
+                    prod = bop["V"][None, :]
+                    for idxf in bop["idx"]:
+                        prod = prod * jnp.take(ext, idxf, axis=1)
+                    parts.append(prod.reshape(B, N_g, R_g).sum(axis=-1))
+                z = jnp.zeros((B, 1), dtype=ext.dtype)
+                g_out = jnp.take(jnp.concatenate(parts + [z], axis=1),
+                                 gops["perm"], axis=1)
+                out = g_out if out is None else out + g_out
+            return out
+
+        return apply
+
+    operands = {"groups": tuple(groups_ops)}
+    if n_pairs:
+        operands["pair_a"] = jnp.asarray(_idx(pair_ab[0]))
+        operands["pair_b"] = jnp.asarray(_idx(pair_ab[1]))
+    return Contraction(_cached_apply(key, build), operands, key)
+
+
 def _row_grouped(rows, n1, data, idx_cols):
     """Pad entries into a (n1, R) row-major layout (R = max row count);
     returns ``(vals, idx_slots, R)``."""
@@ -496,6 +679,81 @@ def make_coo_jacobian(jtensor: COO, dtype=None, precision=None):
     return Contraction(_cached_apply(key, build), operands, key)
 
 
+def make_bucketed_tangent(jtensor: COO, dtype=None, adjoint=False,
+                          inverse=False):
+    """Count-bucketed direct tangent contraction ``hom(xx, dm) ->
+    (B, n, n_tg)`` — the float analogue of
+    :func:`qgs_tpu.ops.twofloat.make_df_tangent_contraction` and the
+    gather-kernel alternative to :func:`make_direct_tangent`'s flat
+    scatter matmul: per slot, gather the coefficient state values and the
+    tangent rows, multiply, and reduce the slots per output row (padding-
+    free bucketed layout, fused row-sum — the layout that removed the
+    r03 gather plateau, see :func:`make_bucketed_contraction`).  Index
+    conventions identical to ``make_direct_tangent`` (ref
+    ``qgs/integrators/integrate.py:227-231``); adjoint/inverse are exact
+    host-side operand transforms."""
+    dtype = dtype or _default_dtype()
+    n1 = jtensor.shape[0]
+    n = n1 - 1
+    coords = [np.asarray(c) for c in jtensor.coords]
+    data = np.asarray(jtensor.data)
+    if inverse:
+        data = -data
+    if adjoint:
+        coords[0], coords[1] = coords[1], coords[0]
+    keep = (coords[0] != 0) & (coords[1] != 0)
+    rows = coords[0][keep] - 1
+    if rows.size == 0:
+        key = ("empty_tangent", n, _dtype_key(dtype))
+
+        def build_empty():
+            def apply(ops, xx, dm):
+                return jnp.zeros((xx.shape[0], n, dm.shape[-1]), dtype=dtype)
+
+            return apply
+
+        return Contraction(_cached_apply(key, build_empty), {}, key)
+
+    dm_idx = coords[1][keep] - 1
+    x_cols = [c[keep] for c in coords[2:]]
+    vals = data[keep]
+
+    buckets, perm = _bucketed_layout(rows, vals, [dm_idx] + x_cols, n)
+    bops, bdesc = [], []
+    for row_ids, bvals, idxs, R_g in buckets:
+        bops.append({
+            "V": jnp.asarray(bvals.reshape(-1), dtype=dtype),
+            "dm_idx": jnp.asarray(_idx(idxs[0].reshape(-1))),
+            "x_idx": tuple(jnp.asarray(_idx(a.reshape(-1)))
+                           for a in idxs[1:]),
+        })
+        bdesc.append((row_ids.size, R_g))
+    desc = tuple(bdesc)
+    n_x = len(coords) - 2
+    key = ("bucketed_tangent", n1, n_x, desc, _dtype_key(dtype))
+
+    def build():
+        def apply(ops, xx, dm):
+            """xx: (B, n1) dummy-padded state; dm: (B, n, n_tg)."""
+            B, n_tg = xx.shape[0], dm.shape[-1]
+            parts = []
+            for (N_g, R_g), bop in zip(desc, ops["buckets"]):
+                coef = bop["V"][None, :]
+                for idxf in bop["x_idx"]:
+                    coef = coef * jnp.take(xx, idxf, axis=1)  # (B, Ng*Rg)
+                dmg = jnp.take(dm, bop["dm_idx"], axis=1)     # (B,Ng*Rg,t)
+                prod = coef[:, :, None] * dmg
+                parts.append(prod.reshape(B, N_g, R_g, n_tg).sum(axis=2))
+            z = jnp.zeros((B, 1, n_tg), dtype=dm.dtype)
+            return jnp.take(jnp.concatenate(parts + [z], axis=1),
+                            ops["perm"], axis=1)
+
+        return apply
+
+    operands = {"buckets": tuple(bops), "perm": jnp.asarray(_idx(perm))}
+    return Contraction(_cached_apply(key, build), operands, key)
+
+
 def make_direct_tangent(jtensor: COO, dtype=None, precision=None,
                         adjoint=False, inverse=False):
     """Direct tangent-linear contraction ``hom(xx, dm) -> (B, n, n_tg)``:
@@ -588,44 +846,31 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
     * ``jac_batch(t, x)``: (B, ndim) -> (B, ndim, ndim)
 
     ``mode``: 'dense' | 'coo' | 'rowsum' | 'rowsum_fm' (feature-major
-    gathers) | 'pairsum' (pair-factored quartic kernel) | 'auto'.
+    gathers) | 'pairsum' (pair-factored quartic kernel) | 'bucketed'
+    (count-bucketed, padding-free layout + pair factoring) | 'auto'.
     ``precision``: matmul precision for the contraction (default HIGHEST —
     see :func:`_resolve_precision`; pass 'default' for raw-bf16 speed).
     """
     dtype = dtype or _default_dtype()
     rank = tensor.rank
     if mode == "auto":
-        # cost per tendency eval: dense einsum ~ B n^3 MACs on the MXU;
-        # row-grouped gather + VPU row-sum ~ B n1 R gather-bound elements
-        # (R = max row nnz).  On TPU the MXU outruns the gather pipeline by
-        # ~2 orders of magnitude, so the dense path takes over once
-        # n1^2/R passes ~110 — measured crossover on v5e, RESOLUTION_r03:
-        # n1^2/R = 91 (MAOOAM 36-dim) -> rowsum 1.7x faster; 133 (ndim
-        # 104) -> dense 2.2x faster; 294 (ndim 400) -> dense 1.4x faster
-        # at 53% of the exact-f32 MXU ceiling.
-        rows = np.bincount(np.asarray(tensor.coords[0]),
-                           minlength=tensor.shape[0])
-        n1 = tensor.shape[0]
-        R = max(int(rows.max()), 1)
-        if (rank == 3 and jax.default_backend() == "tpu"
-                and dtype == jnp.float32
-                and n1 * n1 > 110 * R and n1 <= 800):
-            # n1 <= 800 bounds the densified tensor at ~2 GB f32; the
-            # crossover is measured for f32-HIGHEST matmuls only — f64 on
-            # TPU is XLA-emulated, where O(n1^3) dense MACs would be far
-            # slower than the gather path
-            mode = "dense"
-        elif rank >= 5 and (rank - 1) % 2 == 0:
-            # quartic tensors: the pair-factored kernel halves the
-            # dominant per-slot gather traffic (see
-            # make_pairsum_contraction)
-            mode = "pairsum"
-        else:
-            mode = "rowsum" if R <= 8 * max(rows.mean(), 1) else "coo"
+        # measured on v5e (RESOLUTION_r04): the count-bucketed gather
+        # kernel wins at EVERY scale — it beats the flat rowsum layout
+        # 1.06x (MAOOAM, ndim 36) to 8.1x (ndim 400: the flat layout's
+        # (B, n1*R) gather intermediates spill to HBM, bucketing keeps
+        # the reduction fused/VMEM-resident) and beats the dense MXU
+        # einsum 2.9-7.3x at ndim 104-420; the rank-5 quartic tensors
+        # additionally pair-factor (t4 tier: 19.9x round-3).  The former
+        # dense crossover (n1^2 > 110 R) is obsolete — 'dense', 'rowsum'
+        # and 'coo' remain as explicit modes.
+        mode = "bucketed"
 
     if mode == "dense" and rank == 3:
         quad = make_dense_quadratic(tensor, dtype, precision)
         bil = make_dense_bilinear(jtensor, dtype, precision)
+    elif mode == "bucketed":
+        quad = make_bucketed_contraction(tensor, dtype)
+        bil = make_coo_jacobian(jtensor, dtype, precision)
     elif mode == "pairsum":
         quad = make_pairsum_contraction(
             tensor, dtype, feature_major=jax.default_backend() == "tpu")

@@ -267,67 +267,14 @@ def _mul_const(vc, y, sloppy):
 # executable instead of recompiling, and large tensors are shipped as
 # device data rather than serialized into the XLA program.
 
-from qgs_tpu.ops.contraction import Contraction, _cached_apply
+from qgs_tpu.ops.contraction import (Contraction, _bucketed_layout,
+                                     _cached_apply)
 
 
 def _idx32(a):
     """Index arrays as int32 (mode counts are far below 2^31): half the
     gather-index traffic of int64, the TPU-native index width."""
     return np.asarray(a, np.int32)
-
-
-def _bucketed_layout(rows, data, idx_cols, n1):
-    """Compact a group's entries into count-buckets.
-
-    The flat (n1, R_max) layout wastes ~45% of its slots on zero padding
-    for the MAOOAM tensor (per-row counts are skewed), and the padding
-    slots cost full double-float arithmetic.  Instead, rows are bucketed
-    by entry count (one bucket per distinct count — fully dense), and each
-    bucket gets its own (n_rows_g, R_g) layout over *only its own
-    rows*; empty rows occupy nothing.  Results are re-assembled into the
-    (B, n1) output with a static column permutation (each row lives in
-    exactly one bucket, so assembly is exact placement, no accumulation).
-
-    Returns ``(buckets, perm)`` where each bucket is
-    ``(row_ids, vals (N_g, R_g), [idx arrays (N_g, R_g)...])`` and
-    ``perm`` maps output column i to its position in the concatenated
-    bucket results (with one trailing zero column for empty rows).
-    """
-    counts = np.bincount(rows, minlength=n1)
-    buckets = []
-    if rows.size:
-        # one bucket per DISTINCT count: zero padding anywhere (measured
-        # faster than halving thresholds, 13.7M vs 13.0M traj-steps/s on
-        # the MAOOAM kernel; per-bucket overhead is negligible at these
-        # mode counts)
-        thresholds = sorted(set(int(c) for c in counts if c > 0))
-        by_thr = {}
-        for i in np.nonzero(counts)[0]:
-            tg = next(t for t in thresholds if t >= counts[i])
-            by_thr.setdefault(tg, []).append(int(i))
-        for R_g in sorted(by_thr):
-            row_ids = np.asarray(by_thr[R_g])
-            pos = {r: p for p, r in enumerate(row_ids)}
-            vals = np.zeros((row_ids.size, R_g))
-            idxs = [np.zeros((row_ids.size, R_g), np.int64)
-                    for _ in idx_cols]
-            ptr = np.zeros(row_ids.size, np.int64)
-            for e in range(rows.size):
-                p = pos.get(int(rows[e]))
-                if p is None:
-                    continue
-                vals[p, ptr[p]] = data[e]
-                for out, col in zip(idxs, idx_cols):
-                    out[p, ptr[p]] = col[e]
-                ptr[p] += 1
-            buckets.append((row_ids, vals, idxs, R_g))
-    n_cols = sum(b[0].size for b in buckets)
-    perm = np.full(n1, n_cols, np.int64)          # default: the zero column
-    off = 0
-    for row_ids, *_ in buckets:
-        perm[row_ids] = off + np.arange(row_ids.size)
-        off += row_ids.size
-    return buckets, perm
 
 
 def _one_hot_gather_matrix(idx, n1):

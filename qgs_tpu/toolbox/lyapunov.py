@@ -317,8 +317,8 @@ def compute_backward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
         else:
             tangent = None
             if tensors is not None:
-                from qgs_tpu.ops.contraction import make_direct_tangent
-                tangent = make_direct_tangent(tensors[1], dtype=ic.dtype,
+                from qgs_tpu.ops.contraction import make_bucketed_tangent
+                tangent = make_bucketed_tangent(tensors[1], dtype=ic.dtype,
                                               adjoint=adjoint,
                                               inverse=inverse)
             window = make_window_step(f, fjac, dt, mdt, tableau, adjoint,
@@ -429,8 +429,8 @@ def compute_forward_lyapunovs(f, fjac, t0, tw, t, dt, mdt, ic, n_vec=None,
         else:
             tangent = None
             if tensors is not None:
-                from qgs_tpu.ops.contraction import make_direct_tangent
-                tangent = make_direct_tangent(tensors[1], dtype=ic.dtype,
+                from qgs_tpu.ops.contraction import make_bucketed_tangent
+                tangent = make_bucketed_tangent(tensors[1], dtype=ic.dtype,
                                               adjoint=adjoint,
                                               inverse=inverse)
             window = make_window_step(f, fjac, dt, mdt, tableau, adjoint,
@@ -585,8 +585,8 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
         else:
             tangent = None
             if tensors is not None:
-                from qgs_tpu.ops.contraction import make_direct_tangent
-                tangent = make_direct_tangent(tensors[1], dtype=ic.dtype)
+                from qgs_tpu.ops.contraction import make_bucketed_tangent
+                tangent = make_bucketed_tangent(tensors[1], dtype=ic.dtype)
             window = make_window_step(f, fjac, dt, mdt, tableau,
                                       tangent=tangent)
 

@@ -95,13 +95,22 @@ def test_twofloat_precision_tier():
         assert y64.shape == ydf.shape
         assert np.abs(y64 - ydf).max() < 1e-9, np.abs(y64 - ydf).max()
 
-    # unsupported configurations are rejected, not silently wrong
+    # any EXPLICIT tableau is supported (RK2 formerly rejected — the df
+    # step now splits arbitrary tableau coefficients exactly); implicit
+    # tableaux are rejected, not silently wrong
     import pytest
     from qgs_tpu.integrators.rk import rk2_tableau
     a2, b2, c2 = rk2_tableau()
-    bad = RungeKuttaIntegrator(a=a2, b=b2, c=c2, precision="twofloat")
+    rk2 = RungeKuttaIntegrator(a=a2, b=b2, c=c2, precision="twofloat")
+    rk2.set_func(f)
+    rk2.integrate(0., 1., 0.1, ic=ic, write_steps=0)
+    _, y_rk2 = rk2.get_trajectories()
+    assert np.all(np.isfinite(np.asarray(y_rk2)))
+
+    bad = RungeKuttaIntegrator(a=np.array([[0.5]]), b=np.array([1.0]),
+                               c=np.array([0.5]), precision="twofloat")
     bad.set_func(f)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="explicit"):
         bad.integrate(0., 1., 0.1, ic=ic)
 
 

@@ -50,8 +50,12 @@ def test_same_shape_models_share_apply_and_key(two_models):
         "same-structure models must share the cached apply function"
     assert Dfa.key == Dfb.key
     # operands differ (the parameter values live there)
-    va = np.asarray(fa.batched.operands["V"])
-    vb = np.asarray(fb.batched.operands["V"])
+    va = np.concatenate([np.asarray(b["V"])
+                         for g in fa.batched.operands["groups"]
+                         for b in g["buckets"]])
+    vb = np.concatenate([np.asarray(b["V"])
+                         for g in fb.batched.operands["groups"]
+                         for b in g["buckets"]])
     assert not np.array_equal(va, vb)
 
 
@@ -188,3 +192,25 @@ def test_rowsum_feature_major_matches(two_models):
     fm = np.asarray(make_rowsum_contraction(
         T, feature_major=True)(jnp.asarray(xx)))
     assert np.allclose(bm, fm, rtol=1e-13, atol=1e-15)
+
+
+def test_bucketed_contraction_matches_rowsum(two_models):
+    """The count-bucketed (padding-free) kernel must reproduce the rowsum
+    contraction on the MAOOAM tensor."""
+    import jax.numpy as jnp
+    from qgs_tpu.ops.contraction import (make_bucketed_contraction,
+                                         make_rowsum_contraction)
+
+    (_, _, ta), _ = two_models
+    T = ta.tensor
+    rng = np.random.default_rng(3)
+    xx = rng.random((5, T.shape[0])) * 0.1
+    xx[:, 0] = 1.0
+    ref = np.asarray(make_rowsum_contraction(T)(jnp.asarray(xx)))
+    got = np.asarray(make_bucketed_contraction(T)(jnp.asarray(xx)))
+    assert np.allclose(got, ref, rtol=1e-12, atol=1e-14)
+    # no padding: total slot count equals nnz exactly
+    c = make_bucketed_contraction(T)
+    slots = sum(b["V"].shape[0] for g in c.operands["groups"]
+                for b in g["buckets"])
+    assert slots == T.nnz

@@ -241,3 +241,22 @@ def test_t4_df_pair_factoring(t4_system):
     assert np.abs(outs[True] - outs[False]).max() < 1e-11
     q = make_df_quadratic(T, factor_pairs=True)
     assert q.operands["pair_a"].shape[0] < T.nnz // 4
+
+
+def test_t4_bucketed_auto_mode(t4_system):
+    """auto mode now selects the count-bucketed pair-factored kernel for
+    rank-5 tensors; it must agree with the explicit rowsum path."""
+    import jax.numpy as jnp
+    from qgs_tpu.ops.contraction import make_tendency_fns
+
+    pars, aip, oip, tensor = t4_system
+    f_auto, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
+                                  mode="auto")
+    f_row, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
+                                 mode="rowsum")
+    assert f_auto.key[1][0] == "bucketed", f_auto.key
+    rng = np.random.default_rng(11)
+    x = rng.random((3, pars.ndim)) * 0.05
+    assert np.allclose(np.asarray(f_auto(0., jnp.asarray(x))),
+                       np.asarray(f_row(0., jnp.asarray(x))),
+                       rtol=1e-11, atol=1e-13)
