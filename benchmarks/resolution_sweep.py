@@ -6,24 +6,26 @@ standard MAOOAM 2,2/2,4 (ndim 36) up to 8,8/8,8 (ndim 400) and an
 atmosphere-only 10,10 (ndim 420), for each device path of the contraction
 kernel (``qgs_tpu/ops/contraction.py``):
 
-* ``coo``    — the production sparse path (auto mode: row-grouped gather +
-  VPU row-sum).  Work is O(nnz) per state per stage — bandwidth/gather
-  bound, so the honest ceiling is HBM bytes/s, reported as the achieved
-  gather throughput next to the roofline.
+* ``coo``    — the round-3 flat row-grouped gather layout (kept for the
+  comparison row; its (B, n1*R) intermediates are what bucketing fixed).
+* ``coo_fm`` — feature-major gather variant of ``coo`` (measured
+  identical: the gather plateau is layout-insensitive).
+* ``coo_b``  — the count-bucketed padding-free kernel, the production
+  auto mode (6.3-8.1x over ``coo`` at ndim 104-420, r04).
 * ``dense``  — the matricized dense einsum ((B, n1^2) x (n1^2, n1) matmul
-  at HIGHEST precision).  Work is O(n1^3) — pure MXU; this is the path
-  whose FLOP utilization *can* approach the machine ceiling, reported as
-  MFU vs both the bf16 peak (197 TFLOP/s on v5e) and the exact-f32 ceiling
-  (197/6: HIGHEST-precision f32 = 6 bf16 MXU passes).
-* ``pallas`` — the fused Pallas RK4 kernel (``ops/pallas_kernels.py``).
-  Its one-hot gather matmuls cost O(n1 * R * N) MACs per state (R = max
-  row nnz, N = lane-padded n1), i.e. a factor ~N more arithmetic than the
-  COO path — measured here at growing ndim to settle the SURVEY §7 step-7
-  north star with data (see CLAUDE.md "Pallas status").
+  at HIGHEST precision), with the tensor as a device ARGUMENT.  Work is
+  O(n1^3) — pure MXU; FLOP utilization is reported as MFU vs both the
+  bf16 peak (197 TFLOP/s on v5e) and the exact-f32 ceiling (197/6:
+  HIGHEST-precision f32 = 6 bf16 MXU passes).
+* ``pallas`` — the fused Pallas RK4 kernel (``ops/pallas_kernels.py``),
+  retired as north star in r03 (see CLAUDE.md "Pallas status"); opt-in.
 
-A quartic tier (``t4``) runs the rank-5 T^4 radiation tensor (ndim 38,
-2,2/2,4, symbolic-quadrature IPs) through the same COO machinery — the
-path SURVEY §7 requires to stay sparse/factored.
+The quartic tiers run the rank-5 T^4 radiation tensor (ndim 38, 2,2/2,4,
+symbolic-quadrature IPs): ``t4`` (auto = bucketed + pair-factored),
+``t4_pairsum`` / ``t4_rowsum`` comparison rows, and ``t4_twofloat``
+(the rank-general double-float kernel).  ``recompile_check`` times a
+same-shape/new-parameters dispatch; ``gather_bm``/``gather_fm`` are
+pure-gather microbenchmarks at the rowsum access pattern.
 
 Writes the results JSON to ``QGS_RES_OUT`` (default: stdout only), appending
 each point as it lands so partial sweeps survive a timeout.

@@ -731,8 +731,32 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
         # reproduces the per-j truncated contraction exactly
         return jnp.einsum('btnv,jbtv->btnj', Bfull, us)
 
-    clvs = intersect(Bfull, Ffull)                            # (B, T, n, n_vec)
-    clvs = jnp.moveaxis(clvs, 1, -1)                          # (B, n, n_vec, T)
+    def intersect_host(Bh, Fh):
+        """NumPy fallback of :func:`intersect` — same masked-SVD algorithm
+        on host.  The axon remote-compile helper has been observed to
+        SIGABRT on this (SVD-under-lax.map) program in long sessions even
+        though it compiles standalone; the intersection is post-processing
+        of recorded vectors, so a host evaluation is numerically
+        equivalent (and cheap next to the tangent propagation)."""
+        Bh, Fh = np.asarray(Bh), np.asarray(Fh)
+        G = np.einsum('btnv,btnw->btvw', Bh, Fh)
+        idx = np.arange(n)
+        us = np.zeros((n,) + G.shape[:2] + (n,), dtype=G.dtype)
+        for j in range(n):
+            mask = (idx[:, None] <= j) & (idx[None, :] < n - j)
+            u, _, _ = np.linalg.svd(np.where(mask, G, 0.0),
+                                    full_matrices=False)
+            us[j] = u[..., 0]
+        return jnp.asarray(np.einsum('btnv,jbtv->btnj', Bh, us))
+
+    try:
+        clvs = jax.block_until_ready(intersect(Bfull, Ffull))
+    except Exception as err:                      # pragma: no cover - TPU
+        import warnings
+        warnings.warn("device compile of the subspace intersection failed "
+                      f"({str(err)[:120]}); computing it on host")
+        clvs = intersect_host(Bfull, Ffull)       # (B, T, n, n_vec)
+    clvs = jnp.moveaxis(clvs, 1, -1)              # (B, n, n_vec, T)
 
     # local exponents: one tangent mdt-step on the CLV matrix
     if tableau is None:
