@@ -12,17 +12,15 @@ full precision/perf story:
      "mfu_vs_bf16_peak": ..., ...}
 
 Tiers (all vs the same baseline):
-  float32   — COO gather + scatter-matmul kernel, HIGHEST matmul precision
-              (true f32; the TPU default would silently be one bf16 pass)
+  float32   — count-bucketed gather/row-sum kernel (the round-4 auto
+              mode: padding-free, fused VMEM-resident reductions)
   twofloat  — double-float (2x f32) fused RK4 step, ~48-bit mantissa
   float64   — XLA-emulated f64 (v5e has no native f64) — fidelity oracle
 
-FLOP accounting (for the utilization figures): the f32 tendency kernel's
-dominant work is the (B, nnz) x (nnz, n1) scatter matmul, so one RK4 step
-of one trajectory costs ~ 4 stages x (2*nnz*n1 + 3*nnz) FLOPs.  MFU is
-reported against the v5e bf16 peak (197 TFLOP/s); an exact-f32 matmul at
-HIGHEST precision costs multiple bf16 MXU passes, so the same achieved
-FLOP/s is also reported against the ~1/6-of-peak exact-f32 ceiling.
+FLOP accounting: the bucketed kernel's algorithmic work is ~3 flops per
+nonzero per stage (no scatter matmul), i.e. 4 x 3 x nnz per traj-step —
+it is gather-bound, so MXU-peak MFU is not a meaningful ceiling for it
+(the dense-path rows of RESOLUTION_r04.json carry the MXU MFU story).
 
 Baseline protocol: the reference implementation (Climdyn/qgs) runs one Numba
 trajectory per CPU process (cpu_count processes).  Numba is not installed in
@@ -75,9 +73,6 @@ HEADLINE = DTYPE or "twofloat"
 # core, ref ``qgs/integrators/integrator.py:77-82``).  The per-round
 # re-measured figure is reported alongside as ``baseline_measured``.
 BASELINE_FROZEN = 1.008e6
-
-V5E_PEAK_BF16_TFLOPS = 197.0
-EXACT_F32_PASSES = 6           # bf16 MXU passes per HIGHEST-precision f32 matmul
 
 
 def _tier_sizes(tier):
@@ -309,9 +304,14 @@ def main():
 
     headline = tier_results[HEADLINE if HEADLINE in tier_results else tiers[0]]
 
-    # FLOP utilization, from the f32 kernel's scatter-matmul work (see
-    # module docstring); the same useful work underlies every tier.
-    flops_per_traj_step = 4 * (2 * nnz * n1 + 3 * nnz)
+    # FLOP accounting: the production f32 kernel since round 4 is the
+    # count-bucketed gather/row-sum — its ALGORITHMIC work is ~3 flops per
+    # nonzero per stage (two multiplies + one add), with NO scatter matmul
+    # (the old 4*(2*nnz*n1 + 3*nnz) figure counted one-hot-matmul MACs the
+    # kernel no longer performs — it would overstate achieved FLOPs ~n1x).
+    # The kernel is gather-bound, so MXU-peak MFU is not a meaningful
+    # ceiling for it; see RESOLUTION_r04.json dense rows for MXU MFU.
+    flops_per_traj_step = 4 * 3 * nnz
     f32 = tier_results.get("float32")
     achieved_tflops = (f32["traj_steps_per_s"] * flops_per_traj_step / n_chips
                        / 1e12) if f32 else None
@@ -330,13 +330,12 @@ def main():
         "n_chips": n_chips,
         "platform": platform,
         "flops_per_traj_step_f32": flops_per_traj_step,
-        "achieved_tflops_f32": achieved_tflops,
+        "flop_accounting": ("algorithmic COO flops (4 stages x 3*nnz); the "
+                            "bucketed gather kernel runs no matmuls, so "
+                            "MXU-peak MFU does not apply — see "
+                            "RESOLUTION_r04.json dense rows for MXU MFU"),
+        "achieved_algorithmic_tflops_f32": achieved_tflops,
     }
-    if achieved_tflops is not None and platform == "tpu":
-        report["mfu_vs_bf16_peak"] = achieved_tflops / V5E_PEAK_BF16_TFLOPS
-        report["mfu_vs_exact_f32_ceiling"] = (
-            achieved_tflops / (V5E_PEAK_BF16_TFLOPS / EXACT_F32_PASSES))
-        report["peak_tflops_bf16"] = V5E_PEAK_BF16_TFLOPS
 
     print(json.dumps(report))
 

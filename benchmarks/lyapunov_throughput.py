@@ -25,10 +25,10 @@ Each tier reports an exponent-accuracy column: the mean-exponent deviation
 from the f64 oracle on identical ICs over a short span (where chaotic
 divergence between tiers stays bounded).
 
-Resolutions: MAOOAM 2,2/2,4 (ndim 36, rowsum/COO tangent), 4,4/4,4
-(ndim 104) and 6,6/6,6 (ndim 228) — the latter two stress the direct
-COO tangent contraction at scales where the plain tendency kernel's
-auto mode switches to the dense MXU path.
+Resolutions: MAOOAM 2,2/2,4 (ndim 36), 4,4/4,4 (ndim 104) and 6,6/6,6
+(ndim 228) — the latter two stress the count-bucketed direct tangent
+kernel (``make_bucketed_tangent``), where it measures 2.5-5.0x over the
+round-3 flat scatter matmul.
 
 Run (TPU): ``timeout 5400 python benchmarks/lyapunov_throughput.py``
 Env knobs: QGS_LYAP_ENSEMBLE (default 256), QGS_LYAP_WINDOWS (default 200),
@@ -55,14 +55,14 @@ CONFIGS = {
     "6x6_6x6": ((6, 6), (6, 6)),
 }
 
-# per-ndim sizing: (B, n_vec, windows_scale) — the fundamental-matrix
-# blocks are (B, n, n_vec), so the batch shrinks as ndim grows
+# per-ndim sizing: (B, windows) — the fundamental-matrix blocks are
+# (B, n, n), so the batch shrinks as ndim grows
 def sizing(ndim, B_base, wind_base):
     if ndim <= 40:
-        return B_base, None, wind_base
+        return B_base, wind_base
     if ndim <= 120:
-        return max(B_base // 4, 16), None, max(wind_base // 2, 20)
-    return max(B_base // 16, 8), None, max(wind_base // 4, 20)
+        return max(B_base // 4, 16), max(wind_base // 2, 20)
+    return max(B_base // 16, 8), max(wind_base // 4, 20)
 
 
 def build(key):
@@ -122,11 +122,10 @@ def main():
         pars, f, Df, tensor = build(key)
         ndim = pars.ndim
         tensors = (tensor.tensor, tensor.jacobian_tensor)
-        B, n_vec, n_windows = sizing(ndim, B_base, wind_base)
+        B, n_windows = sizing(ndim, B_base, wind_base)
         print(f"[{key}] ndim={ndim} B={B} windows={n_windows} "
               f"(built in {time.time()-t_build:.0f}s)", flush=True)
 
-        import jax
         doc["platform"] = jax.devices()[0].platform
 
         rng = np.random.default_rng(0)

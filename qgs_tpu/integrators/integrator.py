@@ -31,6 +31,21 @@ def _batched(func):
     return getattr(func, "batched", func)
 
 
+def _same_model_jacobian(fjac, qgt):
+    """True when ``fjac`` derives from the same model as the tensor object
+    ``qgt`` — same object, or value-equal jacobian tensors (a rebuild from
+    identical parameters).  A plain callable (no ``.qgtensor``) is treated
+    as custom."""
+    other = getattr(fjac, "qgtensor", None)
+    if other is qgt:
+        return True
+    if other is None:
+        return False
+    a, b = other.jacobian_tensor, qgt.jacobian_tensor
+    return (a.shape == b.shape and np.array_equal(a.coords, b.coords)
+            and np.array_equal(a.data, b.data))
+
+
 class RungeKuttaIntegrator:
     """Ensemble Runge-Kutta integrator.
 
@@ -230,8 +245,11 @@ class RungeKuttaTglsIntegrator(RungeKuttaIntegrator):
             # is the tensor-derived Jacobian of the SAME model: the fused
             # step contracts f.qgtensor.jacobian_tensor, so a custom fjac
             # would be silently ignored — _check_twofloat raises instead
-            # (the estimator classes apply the same guard)
-            if qgt is not None and getattr(fjac, "qgtensor", None) is not qgt:
+            # (the estimator classes apply the same guard).  "Same model"
+            # is decided by tensor VALUE equality, not object identity: a
+            # Jacobian rebuilt from the same parameters (a second
+            # create_tendencies call) is numerically the same model.
+            if qgt is not None and not _same_model_jacobian(fjac, qgt):
                 qgt = None
         self._qgtensor = qgt
         if ic_init:

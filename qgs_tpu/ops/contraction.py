@@ -294,29 +294,38 @@ def _bucketed_layout(rows, data, idx_cols, n1):
     ``(row_ids, vals (N_g, R_g), [idx arrays (N_g, R_g)...], R_g)`` and
     ``perm`` maps output column i to its position in the concatenated
     bucket results (with one trailing zero column for empty rows)."""
+    rows = np.asarray(rows)
+    data = np.asarray(data)
     counts = np.bincount(rows, minlength=n1)
     buckets = []
     if rows.size:
-        thresholds = sorted(set(int(c) for c in counts if c > 0))
-        by_thr = {}
-        for i in np.nonzero(counts)[0]:
-            tg = next(t for t in thresholds if t >= counts[i])
-            by_thr.setdefault(tg, []).append(int(i))
-        for R_g in sorted(by_thr):
-            row_ids = np.asarray(by_thr[R_g])
-            pos = {r: p for p, r in enumerate(row_ids)}
+        # single O(nnz log nnz) pass: stable-sort entries by row (original
+        # order preserved within each row — the deterministic slot order),
+        # compute each entry's occurrence index within its row, then place
+        # every bucket with pure fancy indexing (the former per-bucket
+        # entry rescan was O(nnz * n_buckets) of Python loop — seconds of
+        # host time per model at ndim 600+)
+        order = np.argsort(rows, kind="stable")
+        sorted_rows = rows[order]
+        run_starts = np.concatenate(
+            ([0], np.cumsum(np.bincount(sorted_rows, minlength=n1))))
+        occ = np.arange(rows.size) - run_starts[sorted_rows]
+        row_count = counts[sorted_rows]
+        for R_g in sorted(set(int(c) for c in counts if c > 0)):
+            row_ids = np.nonzero(counts == R_g)[0]
+            pos_of_row = np.full(n1, -1, np.int64)
+            pos_of_row[row_ids] = np.arange(row_ids.size)
+            sel = row_count == R_g
+            p = pos_of_row[sorted_rows[sel]]
+            slot = occ[sel]
+            e_sel = order[sel]
             vals = np.zeros((row_ids.size, R_g))
-            idxs = [np.zeros((row_ids.size, R_g), np.int64)
-                    for _ in idx_cols]
-            ptr = np.zeros(row_ids.size, np.int64)
-            for e in range(rows.size):
-                p = pos.get(int(rows[e]))
-                if p is None:
-                    continue
-                vals[p, ptr[p]] = data[e]
-                for out, col in zip(idxs, idx_cols):
-                    out[p, ptr[p]] = col[e]
-                ptr[p] += 1
+            vals[p, slot] = data[e_sel]
+            idxs = []
+            for col in idx_cols:
+                a = np.zeros((row_ids.size, R_g), np.int64)
+                a[p, slot] = np.asarray(col)[e_sel]
+                idxs.append(a)
             buckets.append((row_ids, vals, idxs, R_g))
     n_cols = sum(b[0].size for b in buckets)
     perm = np.full(n1, n_cols, np.int64)          # default: the zero column
@@ -879,9 +888,18 @@ def make_tendency_fns(tensor: COO, jtensor: COO, mode="auto", dtype=None,
         quad = make_rowsum_contraction(tensor, dtype,
                                        feature_major=mode == "rowsum_fm")
         bil = make_coo_jacobian(jtensor, dtype, precision)
-    else:
+    elif mode == "coo":
         quad = make_coo_contraction(tensor, dtype, precision)
         bil = make_coo_jacobian(jtensor, dtype, precision)
+    elif mode == "dense":
+        raise ValueError(
+            f"mode='dense' supports rank-3 tensors only (got rank {rank}: "
+            f"a densified quartic tensor would be (ndim+1)^{rank - 1} "
+            f"entries); use 'bucketed' or 'pairsum'")
+    else:
+        raise ValueError(
+            f"unknown contraction mode {mode!r}: expected 'auto', 'dense', "
+            f"'coo', 'rowsum', 'rowsum_fm', 'pairsum' or 'bucketed'")
 
     fkey = ("f_batch", quad.key)
     jkey = ("jac_batch", bil.key)

@@ -751,7 +751,10 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
 
     try:
         clvs = jax.block_until_ready(intersect(Bfull, Ffull))
-    except Exception as err:                      # pragma: no cover - TPU
+    except RuntimeError as err:                   # pragma: no cover - TPU
+        # XlaRuntimeError (a RuntimeError) is what the remote-compile
+        # helper crash surfaces as; trace-time bugs (TypeError/ValueError)
+        # still propagate rather than silently degrading to the host path
         import warnings
         warnings.warn("device compile of the subspace intersection failed "
                       f"({str(err)[:120]}); computing it on host")
@@ -819,9 +822,12 @@ class LyapunovsEstimator:
         self.func_jac = getattr(fjac, "batched", fjac)
         # capture the model tensors (for the direct tangent path and the
         # twofloat tier) only when fjac is the tensor-derived Jacobian of
-        # the SAME model — a user-supplied custom fjac must stay honored
+        # the SAME model — a user-supplied custom fjac must stay honored.
+        # "Same model" = value-equal jacobian tensors (a rebuild from the
+        # same parameters counts), not object identity.
+        from qgs_tpu.integrators.integrator import _same_model_jacobian
         qgt = getattr(f, "qgtensor", None)
-        if qgt is not None and getattr(fjac, "qgtensor", None) is qgt:
+        if qgt is not None and _same_model_jacobian(fjac, qgt):
             self._tensors = (qgt.tensor, qgt.jacobian_tensor)
         else:
             self._tensors = None
@@ -891,9 +897,12 @@ class CovariantLyapunovsEstimator:
         self.func_jac = getattr(fjac, "batched", fjac)
         # capture the model tensors (for the direct tangent path and the
         # twofloat tier) only when fjac is the tensor-derived Jacobian of
-        # the SAME model — a user-supplied custom fjac must stay honored
+        # the SAME model — a user-supplied custom fjac must stay honored.
+        # "Same model" = value-equal jacobian tensors (a rebuild from the
+        # same parameters counts), not object identity.
+        from qgs_tpu.integrators.integrator import _same_model_jacobian
         qgt = getattr(f, "qgtensor", None)
-        if qgt is not None and getattr(fjac, "qgtensor", None) is qgt:
+        if qgt is not None and _same_model_jacobian(fjac, qgt):
             self._tensors = (qgt.tensor, qgt.jacobian_tensor)
         else:
             self._tensors = None

@@ -214,3 +214,29 @@ def test_bucketed_contraction_matches_rowsum(two_models):
     slots = sum(b["V"].shape[0] for g in c.operands["groups"]
                 for b in g["buckets"])
     assert slots == T.nnz
+
+
+def test_tgls_twofloat_accepts_rebuilt_jacobian(two_models):
+    """A Jacobian rebuilt from the SAME parameters (value-equal tensors,
+    different objects) must be accepted by the twofloat guard — only a
+    numerically different fjac is 'custom'."""
+    from qgs_tpu.integrators.integrator import RungeKuttaTglsIntegrator
+
+    (fa, _, _), _ = two_models
+    fa2, Dfa2, _ = create_tendencies(_maooam_params(0.0290),
+                                     return_qgtensor=True)
+    assert fa2.qgtensor is not fa.qgtensor     # genuinely distinct objects
+    integ = RungeKuttaTglsIntegrator(precision="twofloat")
+    integ.set_func(fa, Dfa2)                   # cross-build pairing
+    x0 = np.full(36, 0.01)
+    integ.integrate(0., 0.2, 0.1, ic=x0, tg_ic=np.eye(36))
+    _, traj, fmat = integ.get_trajectories()
+    assert np.all(np.isfinite(np.asarray(fmat)))
+
+
+def test_unknown_mode_raises(two_models):
+    from qgs_tpu.ops.contraction import make_tendency_fns
+
+    (_, _, ta), _ = two_models
+    with pytest.raises(ValueError, match="unknown contraction mode"):
+        make_tendency_fns(ta.tensor, ta.jacobian_tensor, mode="bucketd")

@@ -260,3 +260,12 @@ def test_t4_bucketed_auto_mode(t4_system):
     assert np.allclose(np.asarray(f_auto(0., jnp.asarray(x))),
                        np.asarray(f_row(0., jnp.asarray(x))),
                        rtol=1e-11, atol=1e-13)
+
+
+def test_t4_dense_mode_rejected(t4_system):
+    from qgs_tpu.ops.contraction import make_tendency_fns
+
+    pars, aip, oip, tensor = t4_system
+    with pytest.raises(ValueError, match="rank-3"):
+        make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
+                          mode="dense")

@@ -227,8 +227,7 @@ def main():
     nav.append('<a href="diagnostics_catalog.html">Diagnostics catalog</a>')
     nav.append("<h3>API reference</h3>")
     for name, _ in mods:
-        short = name.replace("qgs_tpu", "qgs_tpu")
-        nav.append(f'<a href="api_{name}.html"><code>{short}</code></a>')
+        nav.append(f'<a href="api_{name}.html"><code>{name}</code></a>')
     nav_html = "\n".join(nav)
 
     def write(fname, title, body):

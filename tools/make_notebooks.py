@@ -76,6 +76,12 @@ CATALOG = {
         "ensemble_statistics.ipynb",
         "Device-sharded ensembles and trajectory statistics — the TPU-native "
         "replacement of the reference's one-process-per-trajectory pools."),
+    "kernel_selection.py": (
+        "kernel_selection.ipynb",
+        "How the tendency contraction maps onto TPU hardware: the "
+        "count-bucketed gather kernel, the dense MXU path, pair-factored "
+        "quartics, and operand threading (no recompile across parameter "
+        "sets) — TPU-specific; no reference counterpart."),
     "precision_tiers.py": (
         "precision_tiers.ipynb",
         "The three device precision tiers (float32, double-float 2xf32, "
