@@ -277,7 +277,7 @@ def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     return Contraction(_cached_apply(key, build), operands, key)
 
 
-def _bucketed_layout(rows, data, idx_cols, n1):
+def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=48):
     """Compact a group's entries into count-buckets.
 
     A flat (n1, R_max) layout wastes 1.6-3.1x of its slots on zero padding
@@ -290,6 +290,14 @@ def _bucketed_layout(rows, data, idx_cols, n1):
     static column permutation (each row lives in exactly one bucket, so
     assembly is exact placement, no accumulation).
 
+    ``max_buckets`` bounds the program size: every bucket emits its own
+    gather/reduce subgraph, and high-resolution tensors have hundreds of
+    distinct row counts (the double-float kernel at ndim 228 took ~15 min
+    of remote compile with exact buckets).  Beyond the bound, thresholds
+    are quantized to ~max_buckets count quantiles — rows pad up to their
+    threshold with zero slots, which contribute exactly 0 (bit-identical
+    results, a few percent extra slots).
+
     Returns ``(buckets, perm)`` where each bucket is
     ``(row_ids, vals (N_g, R_g), [idx arrays (N_g, R_g)...], R_g)`` and
     ``perm`` maps output column i to its position in the concatenated
@@ -299,6 +307,19 @@ def _bucketed_layout(rows, data, idx_cols, n1):
     counts = np.bincount(rows, minlength=n1)
     buckets = []
     if rows.size:
+        distinct = sorted(set(int(c) for c in counts if c > 0))
+        if len(distinct) > max_buckets:
+            qs = np.quantile(np.asarray(distinct, np.float64),
+                             np.linspace(0.0, 1.0, max_buckets))
+            thresholds = sorted(set(int(np.ceil(q)) for q in qs)
+                                | {distinct[-1]})
+        else:
+            thresholds = distinct
+        thr = np.asarray(thresholds)
+        # smallest threshold >= count, per row
+        row_thr = np.zeros(n1, np.int64)
+        nz = counts > 0
+        row_thr[nz] = thr[np.searchsorted(thr, counts[nz])]
         # single O(nnz log nnz) pass: stable-sort entries by row (original
         # order preserved within each row — the deterministic slot order),
         # compute each entry's occurrence index within its row, then place
@@ -310,12 +331,14 @@ def _bucketed_layout(rows, data, idx_cols, n1):
         run_starts = np.concatenate(
             ([0], np.cumsum(np.bincount(sorted_rows, minlength=n1))))
         occ = np.arange(rows.size) - run_starts[sorted_rows]
-        row_count = counts[sorted_rows]
-        for R_g in sorted(set(int(c) for c in counts if c > 0)):
-            row_ids = np.nonzero(counts == R_g)[0]
+        entry_thr = row_thr[sorted_rows]
+        for R_g in thresholds:
+            row_ids = np.nonzero(nz & (row_thr == R_g))[0]
+            if row_ids.size == 0:
+                continue
             pos_of_row = np.full(n1, -1, np.int64)
             pos_of_row[row_ids] = np.arange(row_ids.size)
-            sel = row_count == R_g
+            sel = entry_thr == R_g
             p = pos_of_row[sorted_rows[sel]]
             slot = occ[sel]
             e_sel = order[sel]
