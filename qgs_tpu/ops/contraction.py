@@ -11,18 +11,23 @@ with the state vector ``xx = [1, x]``:
 
 This module provides interchangeable device implementations:
 
-* **dense**: the densified tensor is tiny for typical mode counts
-  ((ndim+1)^3 f64 at ndim~40 is ~0.5 MB), so a batched ``einsum`` maps the
-  whole contraction straight onto the MXU.  This replaces the reference's
-  Numba scalar COO loop (ref ``qgs/functions/sparse_mul.py:14-158``),
-  which is the wrong shape for a systolic array.
-* **coo (gather-scatter)**: for high mode counts or the very sparse rank-5
-  quartic tensors: gather the state at the nonzero coordinates, multiply,
-  and scatter-add through a precomputed one-hot matrix — the scatter then
-  runs as a single (B, nnz) x (nnz, n) matmul on the MXU rather than a
-  serial scatter.
-* **rowsum**: row-grouped gathers + a VPU per-row reduction (no scatter
-  matmul at all) — the measured winner at MAOOAM scale.
+* **bucketed** (the auto mode, round 4): count-bucketed gather/row-sum —
+  rows grouped by exact nonzero count (no padding slots), entries grouped
+  by active-index count, rank-5 quartic entries pair-factored through a
+  shared pair alphabet.  Per-bucket reductions stay fused/VMEM-resident;
+  measured the fastest path at EVERY resolution on v5e
+  (RESOLUTION_r04.json: 1.06-8.1x over the flat layouts, 2.9-7.3x over
+  the dense einsum).  This replaces the reference's Numba scalar COO loop
+  (ref ``qgs/functions/sparse_mul.py:14-158``).
+* **dense**: the densified tensor matricized into one
+  (B, n1^2) x (n1^2, n1) MXU matmul — the machine's FLOP-ceiling
+  demonstrator (50-58% of the exact-f32 peak at ndim 420-754).
+* **coo (gather-scatter)**: gather at the nonzero coordinates, multiply,
+  scatter-add through a precomputed one-hot matrix (a single
+  (B, nnz) x (nnz, n) matmul).
+* **rowsum / rowsum_fm**: flat row-grouped gathers + a VPU per-row
+  reduction (the round-3 production path, kept as comparison rows).
+* **pairsum**: the pair-factored quartic kernel on the flat layout.
 
 Tensor buffers are ARGUMENTS, not baked constants
 -------------------------------------------------
