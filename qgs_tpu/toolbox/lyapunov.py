@@ -702,57 +702,95 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
     n_rec = bvec_.shape[-1]
 
     # Subspace intersection, batched over the mode index j: CLV_j is the
-    # leading left singular vector of M_j = BLV_{1..j+1}^T FLV_{1..n-j}.
-    # Instead of tracing one SVD program per j (O(n) programs — minutes of
-    # compile time at ndim 150+), the n overlap matrices are embedded in
-    # zero-padded (n, n) matrices (zero rows/columns only add zero singular
-    # values, leaving the leading singular vector — padded with zeros —
-    # unchanged) and one vmapped batched SVD handles all j at once.
+    # leading left singular vector of M_j = BLV_{1..j+1}^T FLV_{1..n-j}
+    # (ref ``qgs/toolbox/lyapunov.py:1293`` runs this fully in its compute
+    # layer).  The truncation mask ``(v <= j) & (w < n-j)`` is SEPARABLE —
+    # M_j = diag(r_j) G diag(c_j) with G the full overlap Gram matrix — so
+    # the leading left singular vector of every M_j comes from ONE masked
+    # power iteration on M_j M_j^T run for all j simultaneously: each sweep
+    # is two (B, T, n, n) batched matmuls (pure MXU work; no SVD and no
+    # lax.map — the SVD-under-lax.map program this replaces SIGABRTed the
+    # axon remote-compile helper in long sessions and forced a host
+    # fallback).  sigma_1(M_j) = cos of the smallest principal angle = 1
+    # (the flags intersect by construction), so the iteration is well
+    # scaled; convergence rate is the (sigma_2/sigma_1)^2 angle gap.
     Bfull = jnp.moveaxis(bvec_, -1, 1)                        # (B, T, n, n)
     Ffull = jnp.moveaxis(fvec_, -1, 1)                        # (B, T, n, n)
 
     @jax.jit
     def intersect(Bfull, Ffull):
-        G = jnp.einsum('btnv,btnw->btvw', Bfull, Ffull)       # (B, T, n, n)
+        G = jnp.einsum('btnv,btnw->btvw', Bfull, Ffull,
+                       precision=jax.lax.Precision.HIGHEST)  # (B, T, n, n)
         rows = jnp.arange(n)
+        jj = jnp.arange(n)
+        r = (rows[:, None] <= jj[None, :]).astype(G.dtype)    # (n, J) rows
+        c = (rows[:, None] < (n - jj)[None, :]).astype(G.dtype)  # columns
 
-        def leading_u(j):
-            mask = (rows[:, None] <= j) & (rows[None, :] < n - j)
-            u, _, _ = jnp.linalg.svd(jnp.where(mask, G, 0.0),
-                                     full_matrices=False)
-            return u[..., 0]                                  # (B, T, n)
+        def norm_cols(U):
+            nrm = jnp.sqrt(jnp.sum(U * U, axis=-2, keepdims=True))
+            return U / jnp.where(nrm == 0, 1.0, nrm)
 
-        # lax.map (one compiled SVD program, sequential over j) instead of
-        # vmap: program count stays O(1) in ndim while peak memory stays
-        # O(B T n^2) — a vmapped stack would materialize the full
-        # (n, B, T, n, n) masked-Gram tensor (~n x the old per-j loop)
-        us = jax.lax.map(leading_u, rows)                     # (n, B, T, n)
-        # u_j is zero beyond index j, so contracting the FULL BLV basis
-        # reproduces the per-j truncated contraction exactly
-        return jnp.einsum('btnv,jbtv->btnj', Bfull, us)
+        def sweep(U):
+            # U <- normalize(diag(r) G diag(c)^2 G^T diag(r) U), all j at
+            # once (diag(c) is idempotent, so M M^T needs c applied once)
+            Y = c * jnp.einsum('btvw,btvj->btwj', G, r * U,
+                               precision=jax.lax.Precision.HIGHEST)
+            Z = r * jnp.einsum('btvw,btwj->btvj', G, Y,
+                               precision=jax.lax.Precision.HIGHEST)
+            return norm_cols(Z)
+
+        # deterministic start with nonuniform weights (breaks any symmetry
+        # that could leave the start orthogonal to the leading vector)
+        U0 = norm_cols(jnp.broadcast_to(
+            (r * (1.0 + rows / n)[:, None]).astype(G.dtype), G.shape))
+        tol = 100.0 * jnp.finfo(G.dtype).eps
+
+        def cond(state):
+            U, U_prev, it = state
+            align = jnp.abs(jnp.sum(U * U_prev, axis=-2))     # (B, T, J)
+            return jnp.logical_and(it < 512, jnp.min(align) < 1.0 - tol)
+
+        def body(state):
+            U, _, it = state
+            return sweep(U), U, it + 1
+
+        U, _, _ = jax.lax.while_loop(cond, body, (sweep(U0), U0, 1))
+        # u_j is zero beyond index j (the row mask), so contracting the
+        # FULL BLV basis reproduces the per-j truncated contraction exactly
+        return jnp.einsum('btnv,btvj->btnj', Bfull, U,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def intersect_host(Bh, Fh):
-        """NumPy fallback of :func:`intersect` — same masked-SVD algorithm
-        on host.  The axon remote-compile helper has been observed to
-        SIGABRT on this (SVD-under-lax.map) program in long sessions even
-        though it compiles standalone; the intersection is post-processing
-        of recorded vectors, so a host evaluation is numerically
-        equivalent (and cheap next to the tangent propagation)."""
+        """NumPy mirror of :func:`intersect` (the same masked power
+        iteration) — a safety net kept only for an unrecoverable device
+        compile failure; the device program is pure batched matmuls and is
+        the supported path."""
         Bh, Fh = np.asarray(Bh), np.asarray(Fh)
         G = np.einsum('btnv,btnw->btvw', Bh, Fh)
         idx = np.arange(n)
-        us = np.zeros((n,) + G.shape[:2] + (n,), dtype=G.dtype)
-        for j in range(n):
-            mask = (idx[:, None] <= j) & (idx[None, :] < n - j)
-            u, _, _ = np.linalg.svd(np.where(mask, G, 0.0),
-                                    full_matrices=False)
-            us[j] = u[..., 0]
-        return jnp.asarray(np.einsum('btnv,jbtv->btnj', Bh, us))
+        r = (idx[:, None] <= idx[None, :]).astype(G.dtype)
+        c = (idx[:, None] < (n - idx)[None, :]).astype(G.dtype)
+
+        def norm_cols(U):
+            nrm = np.sqrt(np.sum(U * U, axis=-2, keepdims=True))
+            return U / np.where(nrm == 0, 1.0, nrm)
+
+        U = norm_cols(np.broadcast_to(
+            r * (1.0 + idx / n)[:, None], G.shape).astype(G.dtype))
+        tol = 100.0 * np.finfo(G.dtype).eps
+        for _ in range(512):
+            Y = c * np.einsum('btvw,btvj->btwj', G, r * U)
+            U_new = norm_cols(r * np.einsum('btvw,btwj->btvj', G, Y))
+            align = np.abs(np.sum(U_new * U, axis=-2))
+            U = U_new
+            if align.min() >= 1.0 - tol:
+                break
+        return jnp.asarray(np.einsum('btnv,btvj->btnj', Bh, U))
 
     try:
         clvs = jax.block_until_ready(intersect(Bfull, Ffull))
     except RuntimeError as err:                   # pragma: no cover - TPU
-        # XlaRuntimeError (a RuntimeError) is what the remote-compile
+        # XlaRuntimeError (a RuntimeError) is what a remote-compile
         # helper crash surfaces as; trace-time bugs (TypeError/ValueError)
         # still propagate rather than silently degrading to the host path
         import warnings
