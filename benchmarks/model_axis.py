@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """Model-axis (mode-space tensor-parallel) mesh benchmark at high ndim.
 
-Runs the 8,8/8,8 MAOOAM truncation (ndim 400 — the regime where one
-trajectory's dense contraction is real MXU work) over 2-D
-``(ensemble, model)`` meshes: the tendency tensor's reduction axis is
-sharded across the model axis with one ICI ``psum`` per RK stage
-(``qgs_tpu/parallel/sharded_tendency.py``), the ensemble axis across the
-rest of the mesh.  Measures model = 1 / 2 / 4 at fixed global batch, plus
-the chunked-psum overlap variant (``overlap_chunks``) that lets XLA
-overlap collective and MXU work.
+Runs the 8,8/8,8 MAOOAM truncation (ndim 400 — the regime where model
+parallelism matters) over 2-D ``(ensemble, model)`` meshes
+(``qgs_tpu/parallel/sharded_tendency.py``), comparing the two model-axis
+kernels at model = 1 / 2 / 4 (/ 8) and fixed global batch:
+
+* **bucketed** (default): output rows of the count-bucketed gather kernel
+  partitioned across the model axis — disjoint rows, no psum, one
+  all_gather of the compact per-device row block;
+* **dense**: the matricized tensor's reduction axis sharded, one psum per
+  RK stage, plus the chunked-psum overlap variant (``overlap_chunks``).
 
 On this image the mesh is the 8-virtual-device CPU host platform: all
 configurations share 2 physical cores, so wall-clock compares PROGRAM
@@ -92,11 +94,14 @@ def main():
 
     devices = np.array(jax.devices())
     results = []
-    for model, chunks in [(1, 1), (2, 1), (4, 1), (4, 4)]:
+    for kern, model, chunks in [("bucketed", 1, 1), ("bucketed", 2, 1),
+                                ("bucketed", 4, 1), ("bucketed", 8, 1),
+                                ("dense", 1, 1), ("dense", 2, 1),
+                                ("dense", 4, 1), ("dense", 4, 4)]:
         ens = devices.size // model
         mesh = Mesh(devices.reshape(ens, model), ("ensemble", "model"))
         f_sh = make_sharded_tendency(tensor.tensor, mesh, dtype=jnp.float32,
-                                     overlap_chunks=chunks)
+                                     overlap_chunks=chunks, kernel=kern)
         step = jax.jit(make_rk_step(f_sh, a, b, c))
         x = make_global_array(ic, mesh, P("ensemble", None))
         dt0 = jnp.asarray(0.0, jnp.float32)
@@ -116,13 +121,23 @@ def main():
             el = (time.perf_counter() - t1) / STEPS
             best = el if best is None else min(best, el)
 
-        results.append({"mesh": {"ensemble": ens, "model": model},
+        results.append({"kernel": kern,
+                        "mesh": {"ensemble": ens, "model": model},
                         "overlap_chunks": chunks, "ndim": ndim,
                         "global_batch": B, "s_per_rk4_step": best,
                         "max_err_vs_replicated": err})
-        print(f"  ensemble={ens} model={model} chunks={chunks}: "
+        print(f"  {kern:8s} ensemble={ens} model={model} chunks={chunks}: "
               f"{best*1e3:8.1f} ms/step  err={err:.2e}", flush=True)
         assert err < 1e-4, err
+    # the headline comparison: bucketed row-sharding must beat the dense
+    # psum path at every model-axis width (it attaches the measured-fastest
+    # kernel to a cheaper collective)
+    by = {(r["kernel"], r["mesh"]["model"], r["overlap_chunks"]):
+          r["s_per_rk4_step"] for r in results}
+    for model in (2, 4):
+        speedup = by[("dense", model, 1)] / by[("bucketed", model, 1)]
+        print(f"  bucketed vs dense @ model={model}: {speedup:.1f}x",
+              flush=True)
 
     doc = {"metric": "model_axis_mesh", "config": key, "ndim": ndim,
            "platform": "cpu-virtual-8dev", "physical_cores": os.cpu_count(),

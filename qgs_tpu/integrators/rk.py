@@ -395,9 +395,46 @@ def _normalize_df_tableau(a, b, c):
     return tab
 
 
+def _df_batch_chunk():
+    """Per-device-step batch chunk for the double-float kernels.  B=4096
+    is the measured VMEM knee on v5e (RESOLUTION_r04: larger batches
+    REGRESS — the df gather intermediates spill to HBM); splitting the
+    batch into <= 4096-member chunks evaluated sequentially inside the
+    time step keeps each chunk's intermediates VMEM-resident, making
+    throughput monotone in ensemble size.  Env ``QGS_DF_BATCH_CHUNK``
+    overrides (0 disables chunking)."""
+    import os
+    return int(os.environ.get("QGS_DF_BATCH_CHUNK", "4096"))
+
+
+def _chunk_df_apply(apply):
+    """Wrap a df step ``apply(ops, y, tt, dt)`` so batches larger than the
+    VMEM knee are evaluated in sequential chunks (``lax.map``).  The df
+    arithmetic is per-member, so chunking does not change any member's
+    operation sequence."""
+    def apply_chunked(ops, y, tt, dt_):
+        chunk = _df_batch_chunk()
+        B = jax.tree_util.tree_leaves(y)[0].shape[0]
+        if chunk <= 0 or B <= chunk:
+            return apply(ops, y, tt, dt_)
+        k = -(-B // chunk)               # number of chunks
+        if B % k != 0:                   # keep chunks equal; pad would
+            return apply(ops, y, tt, dt_)  # change the step's shapes
+        c = B // k
+        yk = _tmap(lambda x: x.reshape((k, c) + x.shape[1:]), y)
+        out = jax.lax.map(lambda yc: apply(ops, yc, tt, dt_), yk)
+        return _tmap(lambda x: x.reshape((B,) + x.shape[2:]), out)
+
+    return apply_chunked
+
+
+_tmap = jax.tree_util.tree_map
+
+
 def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None):
     tab_key = _tableau_key(*tableau) if tableau is not None else 'rk4'
-    key = (tensor, write_steps, gather, accumulate, tab_key, 'df')
+    key = (tensor, write_steps, gather, accumulate, tab_key, 'df',
+           _df_batch_chunk())
 
     def build():
         from qgs_tpu.ops.twofloat import (make_df_rk4_step_dynamic,
@@ -408,11 +445,12 @@ def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None):
         else:
             step = make_df_rk_step_dynamic(tensor, *tableau, gather=gather,
                                            accumulate=accumulate)
-        apply = step.apply
+        apply = _chunk_df_apply(step.apply)
         # the compiled scan is shared across every same-layout model
         # (structural key); this outer cache (tensor-identity key) only
         # avoids rebuilding the host-side bucketed layout per call
-        exec_fn = _scan_cache_get((step.key, write_steps, 'df_scan_exec'),
+        exec_fn = _scan_cache_get((step.key, write_steps, 'df_scan_exec',
+                                   _df_batch_chunk()),
                                   lambda: jax.jit(
             lambda ops, carry0, td: _scan_chunks(
                 lambda y, tt, dt_: apply(ops, y, tt, dt_),
@@ -495,8 +533,9 @@ def _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint, inverse,
             step = make_df_tgls_rk_step_dynamic(
                 tensor, jtensor, *tableau, adjoint=adjoint, inverse=inverse,
                 gather=gather, accumulate=accumulate)
-        apply = step.apply
-        exec_fn = _scan_cache_get((step.key, write_steps, 'df_tgls_exec'),
+        apply = _chunk_df_apply(step.apply)
+        exec_fn = _scan_cache_get((step.key, write_steps, 'df_tgls_exec',
+                                   _df_batch_chunk()),
                                   lambda: jax.jit(
             lambda ops, carry0, td: _scan_chunks(
                 lambda carry, tt, dt_: apply(ops, carry, tt, dt_),

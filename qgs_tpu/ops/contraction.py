@@ -282,7 +282,21 @@ def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     return Contraction(_cached_apply(key, build), operands, key)
 
 
-def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=48):
+def _count_thresholds(counts, max_buckets):
+    """Quantized count ladder for :func:`_bucketed_layout`: the distinct
+    nonzero row counts, collapsed to ~``max_buckets`` quantile thresholds
+    when there are more (rows pad up to their threshold with zero slots —
+    bit-identical results, bounded program size)."""
+    distinct = sorted(set(int(c) for c in counts if c > 0))
+    if len(distinct) > max_buckets:
+        qs = np.quantile(np.asarray(distinct, np.float64),
+                         np.linspace(0.0, 1.0, max_buckets))
+        return sorted(set(int(np.ceil(q)) for q in qs) | {distinct[-1]})
+    return distinct
+
+
+def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=48,
+                     thresholds=None):
     """Compact a group's entries into count-buckets.
 
     A flat (n1, R_max) layout wastes 1.6-3.1x of its slots on zero padding
@@ -306,20 +320,18 @@ def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=48):
     Returns ``(buckets, perm)`` where each bucket is
     ``(row_ids, vals (N_g, R_g), [idx arrays (N_g, R_g)...], R_g)`` and
     ``perm`` maps output column i to its position in the concatenated
-    bucket results (with one trailing zero column for empty rows)."""
+    bucket results (with one trailing zero column for empty rows).
+
+    ``thresholds`` overrides the count ladder (it must cover the maximum
+    row count) — the model-axis sharded kernel passes the GLOBAL ladder so
+    every device shard uses identical bucket shapes."""
     rows = np.asarray(rows)
     data = np.asarray(data)
     counts = np.bincount(rows, minlength=n1)
     buckets = []
     if rows.size:
-        distinct = sorted(set(int(c) for c in counts if c > 0))
-        if len(distinct) > max_buckets:
-            qs = np.quantile(np.asarray(distinct, np.float64),
-                             np.linspace(0.0, 1.0, max_buckets))
-            thresholds = sorted(set(int(np.ceil(q)) for q in qs)
-                                | {distinct[-1]})
-        else:
-            thresholds = distinct
+        if thresholds is None:
+            thresholds = _count_thresholds(counts, max_buckets)
         thr = np.asarray(thresholds)
         # smallest threshold >= count, per row
         row_thr = np.zeros(n1, np.int64)

@@ -266,26 +266,30 @@ def _selftest_worker(process_id, num_processes, port, model_axis_size):
     _, traj_df_ref = integ_df_o.get_trajectories()
     np.testing.assert_allclose(traj_df, traj_df_ref, rtol=1e-12, atol=1e-14)
 
-    # -- model-axis (ICI psum) path, when requested ------------------------
+    # -- model-axis paths, when requested: the bucketed row-partitioned
+    # kernel (default; no psum, one all_gather over 'model') and the dense
+    # reduction-sharded psum kernel --------------------------------------
     if model_axis_size > 1:
         from qgs_tpu.parallel.sharded_tendency import make_sharded_tendency
         from qgs_tpu.integrators.rk import make_rk_step, rk4_tableau
 
-        f_sh = make_sharded_tendency(tensor.tensor, mesh)
         a, b, c = rk4_tableau()
-        step = jax.jit(make_rk_step(f_sh, a, b, c))
         x = make_global_array(ic, mesh, P(ENSEMBLE_AXIS, None))
-        y = step(x, jnp.asarray(0.0), jnp.asarray(0.1))
         y_ref = np.asarray(jax.jit(make_rk_step(f.batched, a, b, c))(
             jnp.asarray(ic), jnp.asarray(0.0), jnp.asarray(0.1)))
-        np.testing.assert_allclose(gather_to_host(y), y_ref,
-                                   rtol=1e-10, atol=1e-12)
+        for kern, rtol in (("bucketed", 1e-10), ("dense", 1e-10)):
+            f_sh = make_sharded_tendency(tensor.tensor, mesh, kernel=kern)
+            step = jax.jit(make_rk_step(f_sh, a, b, c))
+            y = step(x, jnp.asarray(0.0), jnp.asarray(0.1))
+            np.testing.assert_allclose(gather_to_host(y), y_ref,
+                                       rtol=rtol, atol=1e-12)
 
     print(f"DISTOK process={process_id}/{num_processes} "
           f"mesh={dict(mesh.shape)} B={B} ndim={pars.ndim} "
           f"records={np.asarray(traj).shape} "
           f"checks=ensemble,tgls,blv,twofloat"
-          f"{',model-psum' if model_axis_size > 1 else ''}", flush=True)
+          f"{',model-rowshard,model-psum' if model_axis_size > 1 else ''}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -115,11 +115,18 @@ def test_twofloat_precision_tier():
 
 
 def test_mode_sharded_tendency_matches_unsharded():
-    """Tensor-parallel tendency (reduction axis sharded over the 'model'
-    mesh axis, one psum per eval) must agree with the plain batched
-    contraction on a 4x2 (ensemble x model) virtual mesh."""
+    """Tensor-parallel tendency on a 4x2 (ensemble x model) virtual mesh.
+
+    The default (bucketed) kernel partitions output rows across the model
+    axis — disjoint rows, no psum, one all_gather — and must be
+    BIT-identical to the jitted unsharded bucketed kernel (same global
+    count ladder, same per-row slot order).  The dense kernel (reduction
+    axis sharded, one psum per eval) is the comparison path and agrees to
+    roundoff."""
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from qgs_tpu.ops.contraction import (jit_contraction,
+                                         make_bucketed_contraction)
     from qgs_tpu.parallel.sharded_tendency import make_sharded_tendency
 
     pars = QgParams()
@@ -130,12 +137,25 @@ def test_mode_sharded_tendency_matches_unsharded():
     f, Df, tensor = create_tendencies(pars, return_qgtensor=True)
 
     mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("ensemble", "model"))
-    f_sharded = make_sharded_tendency(tensor.tensor, mesh)
 
     x = np.random.default_rng(11).random((16, pars.ndim)) * 0.05
     xs = jax.device_put(jnp.asarray(x),
                         NamedSharding(mesh, P("ensemble", None)))
-    out_sharded = np.asarray(jax.jit(f_sharded)(0., xs))
     out_plain = np.asarray(f.batched(0., jnp.asarray(x)))
-    assert np.allclose(out_sharded, out_plain, rtol=1e-12, atol=1e-13), \
-        np.abs(out_sharded - out_plain).max()
+
+    # bucketed (default): bit-identical to the jitted unsharded kernel
+    f_bucketed = make_sharded_tendency(tensor.tensor, mesh)
+    out_bucketed = np.asarray(jax.jit(f_bucketed)(0., xs))
+    cb = make_bucketed_contraction(tensor.tensor)
+    xx = jnp.concatenate([jnp.ones((x.shape[0], 1), out_bucketed.dtype),
+                          jnp.asarray(x)], axis=1)
+    out_ref = np.asarray(jit_contraction(cb)(xx))[:, 1:]
+    assert np.array_equal(out_bucketed, out_ref), \
+        np.abs(out_bucketed - out_ref).max()
+    assert np.allclose(out_bucketed, out_plain, rtol=1e-12, atol=1e-13)
+
+    # dense (psum comparison path): agrees to roundoff
+    f_dense = make_sharded_tendency(tensor.tensor, mesh, kernel="dense")
+    out_dense = np.asarray(jax.jit(f_dense)(0., xs))
+    assert np.allclose(out_dense, out_plain, rtol=1e-12, atol=1e-13), \
+        np.abs(out_dense - out_plain).max()
