@@ -208,32 +208,53 @@ class _SymbolicIPBase:
 
         from concurrent.futures import ProcessPoolExecutor
 
-        # NOTE: the pool uses the platform-default start method (fork on
-        # Linux): the children inherit the parent's state and run pure
-        # SymPy/CPython work, matching the reference's pebble fork pool.
-        # spawn would be thread-safer in principle, but on this image every
-        # spawned child re-runs the site hook that initializes a JAX/axon
-        # client at interpreter start — far worse than the (unobserved)
-        # fork-with-threads hazard for these CPU-only integrals.
+        # A plain fork pool would fork the parent AFTER JAX has spun up
+        # its threads — the classic fork-with-threads deadlock hazard
+        # (ADVICE r03).  A FORKSERVER context avoids it: the server is a
+        # fresh spawned interpreter (no inherited threads) and workers
+        # fork from IT.  Two image-specific refinements: the axon site
+        # hook (gated on PALLAS_AXON_POOL_IPS) is scrubbed from the
+        # environment while the server starts, so neither the server nor
+        # its forks initialize a JAX/axon client; and the worker module is
+        # preloaded into the server once so each forked worker inherits
+        # the imports instead of re-running them.
         defn, name = method.__self__, method.__name__
         payloads = [(defn, name, fns, self.timeout) for fns in tasks]
         out = []
-        with ProcessPoolExecutor(max_workers=n_jobs) as ex:
-            for (ok, res), fns in zip(ex.map(_pool_integrate, payloads,
-                                             chunksize=4), tasks):
-                if not ok:
-                    val = self._quadrature_fallback(method, fns)
-                    warnings.warn(
-                        f"exact SymPy integration ({name}) exceeded the "
-                        f"{self.timeout}s per-integral budget; fell back to "
-                        f"numerical quadrature (value {val:.6e})",
-                        stacklevel=3)
-                    out.append(Float(val) if self.return_symbolic else val)
-                elif self.return_symbolic:
-                    out.append(res)
-                else:
-                    out.append(float(res.subs(self.subs))
-                               if self.subs else float(res))
+        import multiprocessing as _mp
+        ctx = _mp.get_context("forkserver")
+        try:
+            ctx.set_forkserver_preload([__name__ if __name__ != "__main__"
+                                        else "qgs_tpu.inner_products.symbolic"])
+        except Exception:                       # pragma: no cover
+            pass
+        # scrub for the pool's whole lifetime: the forkserver (and thus
+        # the workers) starts lazily at first submit, and the variable is
+        # only consulted at interpreter startup, so the parent loses
+        # nothing while the batch runs
+        saved_axon = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        try:
+            with ProcessPoolExecutor(max_workers=n_jobs,
+                                     mp_context=ctx) as ex:
+                for (ok, res), fns in zip(ex.map(_pool_integrate, payloads,
+                                                 chunksize=4), tasks):
+                    if not ok:
+                        val = self._quadrature_fallback(method, fns)
+                        warnings.warn(
+                            f"exact SymPy integration ({name}) exceeded the "
+                            f"{self.timeout}s per-integral budget; fell back "
+                            f"to numerical quadrature (value {val:.6e})",
+                            stacklevel=3)
+                        out.append(Float(val) if self.return_symbolic
+                                   else val)
+                    elif self.return_symbolic:
+                        out.append(res)
+                    else:
+                        out.append(float(res.subs(self.subs))
+                                   if self.subs else float(res))
+        finally:
+            if saved_axon is not None:
+                os.environ["PALLAS_AXON_POOL_IPS"] = saved_axon
         return out
 
     def _run_with_timeout(self, method, fns):
