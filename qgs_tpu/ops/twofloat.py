@@ -800,6 +800,31 @@ def _df_t(A):
     return (jnp.swapaxes(A[0], -1, -2), jnp.swapaxes(A[1], -1, -2))
 
 
+def trisolve_mp(R, B, lower=False):
+    """Mixed-precision triangular solve ``R X = B`` (f64 in / f64 out)
+    WITHOUT an emulated-f64 triangular solve.
+
+    On v5e an f64 ``solve_triangular`` lowers to an emulated sequential
+    scalar loop — the dominant cost of the double-float Ginelli backward
+    pass (the analogue of the Householder-QR cost :func:`cholqr_df`
+    removed from the forward window).  Scheme: one batched **f32** solve,
+    one **f64 residual** (an emulated f64 matmul — MXU-pipelined, far
+    cheaper than an emulated sequential solve), one f32 correction solve:
+
+        X0 = solve_f32(R, B);  D = B - R X0;  X = X0 + solve_f32(R, D)
+
+    Relative error ~ eps32^2 cond(R)^2 + eps64 cond(R) — f64-grade for the
+    QR-cadence R factors (cond grows only like exp(spread*dt) per
+    window)."""
+    R32 = R.astype(jnp.float32)
+    X0 = jax.scipy.linalg.solve_triangular(
+        R32, B.astype(jnp.float32), lower=lower).astype(jnp.float64)
+    D = B - jnp.matmul(R, X0, precision=jax.lax.Precision.HIGHEST)
+    dX = jax.scipy.linalg.solve_triangular(
+        R32, D.astype(jnp.float32), lower=lower)
+    return X0 + dX.astype(jnp.float64)
+
+
 def cholqr_df(M):
     """Mixed-precision CholeskyQR of a double-float matrix stack
     ``M (…, n, k)``: returns ``(Q_df, R64)`` with Q orthonormal to ~1e-14

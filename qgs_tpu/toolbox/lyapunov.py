@@ -617,13 +617,24 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
 
             # backward Ginelli pass: a_{i} = normalize(R_i^{-1} a_{i+1}),
             # with optional Gaussian diagonal noise against near-tangency
-            # ill-conditioning (exactly zero contribution at amplitude 0)
+            # ill-conditioning (exactly zero contribution at amplitude 0).
+            # In df mode the solve uses the mixed-precision refinement
+            # scheme (f32 solves + f64 residual, trisolve_mp) — the
+            # emulated-f64 sequential solve this replaces dominated the
+            # backward pass (the same lever cholqr_df applied to the
+            # forward window in round 3).
             diag_idx = jnp.arange(nv)
+            if df_mode:
+                from qgs_tpu.ops.twofloat import trisolve_mp as _trisolve
+            else:
+                def _trisolve(R, A, lower=False):
+                    return jax.scipy.linalg.solve_triangular(R, A,
+                                                             lower=lower)
 
             def back(carry, inp):
                 A = carry
                 R, nz = inp
-                A_new = jax.scipy.linalg.solve_triangular(R, A, lower=False)
+                A_new = _trisolve(R, A, lower=False)
                 A_new = A_new.at[..., diag_idx, diag_idx].add(nz)
                 A_n, norms = _normalize_columns(A_new)
                 return A_n, (A_n, norms)
