@@ -72,6 +72,17 @@ class RungeKuttaIntegrator:
 
     def __init__(self, num_threads=None, b=None, c=None, a=None,
                  number_of_dimensions=None, mesh=None, precision="float64"):
+        if precision not in ("float64", "twofloat"):
+            # 'float32' is an AMBIENT-dtype choice, not an integrator mode:
+            # build the tendencies at float32 (make_tendency_fns(dtype=...))
+            # and pass float32 ICs, as bench.py's f32 tier does — silently
+            # accepting the string here would integrate at the ambient
+            # dtype while claiming otherwise
+            raise ValueError(
+                f"unknown precision {precision!r}: expected 'float64' "
+                "(ambient dtype) or 'twofloat'; for a float32 run, build "
+                "the tendency functions with dtype=jnp.float32 and use "
+                "float32 initial conditions")
         tab = merge_tableau(a, b, c)
         self.a, self.b, self.c = tab if tab is not None else rk4_tableau()
         self.func = None

@@ -282,20 +282,66 @@ def make_coo_contraction(tensor: COO, dtype=None, precision=None):
     return Contraction(_cached_apply(key, build), operands, key)
 
 
+def default_max_buckets():
+    """Default bucket-ladder size (env ``QGS_BUCKET_MAX``).  Program size
+    — and thus remote-compile latency at high resolution — scales with
+    the bucket count (one gather/reduce subgraph per bucket); padding
+    waste shrinks with it.  With the optimal-DP ladder placement below,
+    16 buckets cost well under 1% extra slots on the qgs tensors
+    (measured at ndim 228-754), so 16 is the default (r04's quantile
+    ladder needed 48 for ~0.1%; compile time dropped proportionally)."""
+    import os
+    return int(os.environ.get("QGS_BUCKET_MAX", "16"))
+
+
 def _count_thresholds(counts, max_buckets):
-    """Quantized count ladder for :func:`_bucketed_layout`: the distinct
-    nonzero row counts, collapsed to ~``max_buckets`` quantile thresholds
-    when there are more (rows pad up to their threshold with zero slots —
-    bit-identical results, bounded program size)."""
-    distinct = sorted(set(int(c) for c in counts if c > 0))
-    if len(distinct) > max_buckets:
-        qs = np.quantile(np.asarray(distinct, np.float64),
-                         np.linspace(0.0, 1.0, max_buckets))
-        return sorted(set(int(np.ceil(q)) for q in qs) | {distinct[-1]})
-    return distinct
+    """Optimal count ladder for :func:`_bucketed_layout`: at most
+    ``max_buckets`` thresholds over the distinct nonzero row counts.
+    Rows pad up to their threshold with zero slots (contributing exactly
+    0 — bit-identical results), so the ladder is chosen by dynamic
+    programming to minimize the TOTAL number of padded slots, weighted by
+    how many rows carry each count — strictly better placement than a
+    count-quantile ladder at the same size, which is what lets the
+    default size (and with it program size / compile time) drop."""
+    counts = np.asarray(counts)
+    nzc = counts[counts > 0]
+    distinct, w = np.unique(nzc, return_counts=True)        # ascending
+    m = distinct.size
+    if m <= max_buckets:
+        return [int(c) for c in distinct]
+    d = distinct.astype(np.float64)
+    W = np.concatenate([[0.0], np.cumsum(w.astype(np.float64))])
+    S = np.concatenate([[0.0], np.cumsum(w * d)])
+    # dp over "first j distinct counts covered by t thresholds"; a segment
+    # (i, j] pads its rows to distinct[j-1]:
+    #   cost(i, j) = d[j-1] * (W[j] - W[i]) - (S[j] - S[i])
+    K = int(max_buckets)
+    dp = np.full(m + 1, np.inf)
+    dp[0] = 0.0
+    parents = []
+    for _ in range(K):
+        ndp = np.full(m + 1, np.inf)
+        par = np.zeros(m + 1, np.int64)
+        for j in range(1, m + 1):
+            cand = dp[:j] + d[j - 1] * (W[j] - W[:j]) - (S[j] - S[:j])
+            k = int(np.argmin(cand))
+            ndp[j] = cand[k]
+            par[j] = k
+        parents.append(par)
+        dp = ndp
+    # walk the segment right-endpoints back from j = m (the max count is
+    # always a threshold)
+    thresholds = []
+    j = m
+    for par in reversed(parents):
+        if j == 0:
+            break
+        thresholds.append(int(distinct[j - 1]))
+        j = int(par[j])
+    return sorted(thresholds)
 
 
-def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=48,
+def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=None,
                      thresholds=None):
     """Compact a group's entries into count-buckets.
 
@@ -331,6 +377,8 @@ def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=48,
     buckets = []
     if rows.size:
         if thresholds is None:
+            if max_buckets is None:
+                max_buckets = default_max_buckets()
             thresholds = _count_thresholds(counts, max_buckets)
         thr = np.asarray(thresholds)
         # smallest threshold >= count, per row

@@ -138,7 +138,7 @@ def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None,
 
 
 def make_bucketed_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None,
-                                   factor_pairs="auto", max_buckets=48):
+                                   factor_pairs="auto", max_buckets=None):
     """Model-axis sharding of the count-bucketed gather kernel.
 
     The bucketed kernel's output rows are disjoint, so a row partition
@@ -169,7 +169,8 @@ def make_bucketed_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None,
     bit-identical to the unsharded bucketed kernel."""
     from qgs_tpu.ops.contraction import (_active_index_groups,
                                          _bucketed_layout,
-                                         _count_thresholds, _idx)
+                                         _count_thresholds,
+                                         default_max_buckets, _idx)
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -184,6 +185,8 @@ def make_bucketed_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None,
             return jnp.zeros_like(x)
         return f_zero
 
+    if max_buckets is None:
+        max_buckets = default_max_buckets()
     groups, pair_ab, n_ext = _active_index_groups(tensor, factor_pairs)
     n_pairs = 0 if pair_ab is None else pair_ab.shape[1]
 

@@ -863,6 +863,10 @@ class LyapunovsEstimator:
         self.ic = None
         self._result = None
         self.mesh = mesh
+        if precision not in (None, "float64", "twofloat"):
+            raise ValueError(
+                f"unknown precision {precision!r}: expected None/'float64' "
+                "(ambient dtype) or 'twofloat'")
         self.precision = precision
         self._tensors = None
 
@@ -938,6 +942,10 @@ class CovariantLyapunovsEstimator:
         self._flvs = None
         self.method = 0
         self.mesh = mesh
+        if precision not in (None, "float64", "twofloat"):
+            raise ValueError(
+                f"unknown precision {precision!r}: expected None/'float64' "
+                "(ambient dtype) or 'twofloat'")
         self.precision = precision
         self._tensors = None
 

@@ -216,6 +216,44 @@ def test_bucketed_contraction_matches_rowsum(two_models):
     assert slots == T.nnz
 
 
+def test_bucket_ladder_quantization_bit_identical(two_models):
+    """The DP-placed count ladder (any max_buckets) only ADDS zero slots
+    at the end of each row's reduction, so results must be BIT-identical
+    to the exact (one bucket per distinct count) layout, while total
+    padding stays bounded; the ladder must also never exceed its budget."""
+    import jax
+    import jax.numpy as jnp
+    from qgs_tpu.ops.contraction import (_active_index_groups,
+                                         _count_thresholds, _bucketed_layout,
+                                         make_bucketed_contraction,
+                                         jit_contraction)
+
+    (_, _, ta), _ = two_models
+    T = ta.tensor
+    rng = np.random.default_rng(3)
+    xx = jnp.asarray(rng.random((5, T.shape[0])) * 0.1)
+
+    exact = np.asarray(jit_contraction(make_bucketed_contraction(T))(xx))
+    groups, _, _ = _active_index_groups(T, False)
+    for K in (2, 3, 5):
+        # force quantization (MAOOAM has ~10 distinct counts per group)
+        for d_eff, g_rows, g_data, idx_cols in groups:
+            counts = np.bincount(g_rows, minlength=T.shape[0])
+            thr = _count_thresholds(counts, K)
+            assert len(thr) <= K
+            assert max(thr) >= counts.max()
+            buckets, _ = _bucketed_layout(g_rows, g_data, list(idx_cols),
+                                          T.shape[0], max_buckets=K)
+            assert len(buckets) <= K
+        import os
+        os.environ["QGS_BUCKET_MAX"] = str(K)
+        try:
+            got = np.asarray(jit_contraction(make_bucketed_contraction(T))(xx))
+        finally:
+            os.environ.pop("QGS_BUCKET_MAX", None)
+        assert np.array_equal(got, exact), K
+
+
 def test_tgls_twofloat_accepts_rebuilt_jacobian(two_models):
     """A Jacobian rebuilt from the SAME parameters (value-equal tensors,
     different objects) must be accepted by the twofloat guard — only a
