@@ -228,12 +228,18 @@ def main():
                 cfg_doc["accuracy"] = {"error": str(err)[:300]}
             flush()
 
-        # CLV tiers at MAOOAM scale only (the backward pass stores R per
-        # window — memory-bound in trajectory length, as the reference
-        # documents)
-        if ndim <= 40 and os.environ.get("QGS_LYAP_CLV", "1") != "0":
-            B_c = min(B, 64)
-            w_c = min(n_windows, 100)
+        # CLV tiers at every resolution (round 5: the subspace tier's
+        # intersection is pure batched matmuls on-chip, so it scales with
+        # the Benettin passes; the recorded (B, n, n, T) vector blocks
+        # bound the batch as ndim grows — the same memory-in-trajectory-
+        # length constraint the reference documents)
+        if os.environ.get("QGS_LYAP_CLV", "1") != "0":
+            if ndim <= 40:
+                B_c, w_c = min(B, 64), min(n_windows, 100)
+            elif ndim <= 120:
+                B_c, w_c = 16, 50
+            else:
+                B_c, w_c = 4, 50
             span = (0., 5 * dt, 5 * dt + w_c * dt,
                     5 * dt + (w_c + 20) * dt, dt, mdt)
 

@@ -683,6 +683,90 @@ def compute_clvs_ginelli(f, fjac, t0, ta, tb, tc, dt, mdt, ic, n_vec=None,
     return times[idx], jnp.squeeze(traj), jnp.squeeze(lexp), jnp.squeeze(vecs)
 
 
+@jax.jit
+def _subspace_intersect(Bfull, Ffull):
+    """Subspace intersection, batched over the mode index j: CLV_j is the
+    leading left singular vector of M_j = BLV_1..j+1^T FLV_1..n-j
+    (ref ``qgs/toolbox/lyapunov.py:1293`` runs this fully in its compute
+    layer).  The truncation mask ``(v <= j) & (w < n-j)`` is SEPARABLE —
+    M_j = diag(r_j) G diag(c_j) with G the full overlap Gram matrix — so
+    the leading left singular vector of every M_j comes from ONE masked
+    power iteration on M_j M_j^T run for all j simultaneously: each sweep
+    is two (B, T, n, n) batched matmuls (pure MXU work; no SVD and no
+    lax.map — the SVD-under-lax.map program this replaces SIGABRTed the
+    axon remote-compile helper in long sessions and forced a host
+    fallback).  sigma_1(M_j) = cos of the smallest principal angle = 1
+    (the flags intersect by construction), so the iteration is well
+    scaled; convergence rate is the (sigma_2/sigma_1)^2 angle gap.
+
+    Module-level jit: retraced per (B, T, n) shape, the executable reused
+    across calls (a per-call jit object cost a fresh compile-cache lookup
+    every invocation)."""
+    n = Bfull.shape[-1]
+    G = jnp.einsum('btnv,btnw->btvw', Bfull, Ffull,
+                   precision=jax.lax.Precision.HIGHEST)      # (B, T, n, n)
+    rows = jnp.arange(n)
+    jj = jnp.arange(n)
+    r = (rows[:, None] <= jj[None, :]).astype(G.dtype)       # (n, J) rows
+    c = (rows[:, None] < (n - jj)[None, :]).astype(G.dtype)  # columns
+
+    def norm_cols(U):
+        nrm = jnp.sqrt(jnp.sum(U * U, axis=-2, keepdims=True))
+        return U / jnp.where(nrm == 0, 1.0, nrm)
+
+    def phase(U0_, prec, chunk, max_sweeps, tol):
+        """while_loop of `chunk`-sweep blocks with one convergence check
+        per block (a per-sweep check measured 3x the sweep itself: the
+        (B,T,n,J) min-reduce + double carry dominate these small batched
+        matmuls); near-degenerate principal-angle pairs never converge,
+        so the cap is the usual exit and block granularity is what
+        matters."""
+        def sweep(i, U):
+            # U <- normalize(diag(r) G diag(c)^2 G^T diag(r) U), all j at
+            # once (diag(c) is idempotent: M M^T needs c applied once)
+            Y = c * jnp.einsum('btvw,btvj->btwj', G, r * U, precision=prec)
+            Z = r * jnp.einsum('btvw,btwj->btvj', G, Y, precision=prec)
+            return norm_cols(Z)
+
+        def block(U):
+            return jax.lax.fori_loop(0, chunk, sweep, U)
+
+        def cond(state):
+            U, U_prev, it = state
+            align = jnp.abs(jnp.sum(U * U_prev, axis=-2))    # (B, T, J)
+            return jnp.logical_and(it < max_sweeps,
+                                   jnp.min(align) < 1.0 - tol)
+
+        def body(state):
+            U, _, it = state
+            return block(U), U, it + chunk
+
+        U, _, _ = jax.lax.while_loop(cond, body, (block(U0_), U0_, chunk))
+        return U
+
+    # deterministic start with nonuniform weights (breaks any symmetry
+    # that could leave the start orthogonal to the leading vector)
+    U0 = norm_cols(jnp.broadcast_to(
+        (r * (1.0 + rows / n)[:, None]).astype(G.dtype), G.shape))
+    eps = jnp.finfo(G.dtype).eps
+    if G.dtype == jnp.float32:
+        # hybrid precision: the power iteration is self-correcting (the
+        # fixed point is set by G; per-sweep rounding only perturbs the
+        # iterate), so the bulk of the contraction runs at the TPU's
+        # default bf16 matmul precision (~1.8x cheaper per sweep) and a
+        # short HIGHEST polish phase restores f32-level vectors
+        U = phase(U0, None, chunk=8, max_sweeps=256, tol=1e-4)
+        U = phase(U, jax.lax.Precision.HIGHEST, chunk=4, max_sweeps=96,
+                  tol=100.0 * eps)
+    else:
+        U = phase(U0, jax.lax.Precision.HIGHEST, chunk=8, max_sweeps=512,
+                  tol=100.0 * eps)
+    # u_j is zero beyond index j (the row mask), so contracting the
+    # FULL BLV basis reproduces the per-j truncated contraction exactly
+    return jnp.einsum('btnv,btvj->btnj', Bfull, U,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
                           tableau=None, seed=0, return_blvs=False, return_flvs=False,
                           mesh=None, precision=None, tensors=None):
@@ -690,8 +774,9 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
     (Eckmann-Ruelle / Kuptsov-Parlitz): CLV_j spans
     ``span(BLV_1..j) ∩ span(FLV_1..n-j+1)``.  Lower memory than Ginelli for
     long trajectories.  ``precision='twofloat'`` propagates both Benettin
-    passes in double-float (the SVD intersection and the one-substep local
-    exponents run in f64 on the recorded vectors either way)."""
+    passes in double-float (the masked-power-iteration intersection and
+    the one-substep local exponents run in f64 on the recorded vectors
+    either way)."""
     ic = jnp.atleast_2d(jnp.asarray(ic))
     B, n = ic.shape
 
@@ -712,64 +797,10 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
     fvec_ = jnp.asarray(fvec).reshape(B, n, n, -1)
     n_rec = bvec_.shape[-1]
 
-    # Subspace intersection, batched over the mode index j: CLV_j is the
-    # leading left singular vector of M_j = BLV_{1..j+1}^T FLV_{1..n-j}
-    # (ref ``qgs/toolbox/lyapunov.py:1293`` runs this fully in its compute
-    # layer).  The truncation mask ``(v <= j) & (w < n-j)`` is SEPARABLE —
-    # M_j = diag(r_j) G diag(c_j) with G the full overlap Gram matrix — so
-    # the leading left singular vector of every M_j comes from ONE masked
-    # power iteration on M_j M_j^T run for all j simultaneously: each sweep
-    # is two (B, T, n, n) batched matmuls (pure MXU work; no SVD and no
-    # lax.map — the SVD-under-lax.map program this replaces SIGABRTed the
-    # axon remote-compile helper in long sessions and forced a host
-    # fallback).  sigma_1(M_j) = cos of the smallest principal angle = 1
-    # (the flags intersect by construction), so the iteration is well
-    # scaled; convergence rate is the (sigma_2/sigma_1)^2 angle gap.
+    # on-device intersection: see _subspace_intersect (masked power
+    # iteration, module-level jit shared across calls)
     Bfull = jnp.moveaxis(bvec_, -1, 1)                        # (B, T, n, n)
     Ffull = jnp.moveaxis(fvec_, -1, 1)                        # (B, T, n, n)
-
-    @jax.jit
-    def intersect(Bfull, Ffull):
-        G = jnp.einsum('btnv,btnw->btvw', Bfull, Ffull,
-                       precision=jax.lax.Precision.HIGHEST)  # (B, T, n, n)
-        rows = jnp.arange(n)
-        jj = jnp.arange(n)
-        r = (rows[:, None] <= jj[None, :]).astype(G.dtype)    # (n, J) rows
-        c = (rows[:, None] < (n - jj)[None, :]).astype(G.dtype)  # columns
-
-        def norm_cols(U):
-            nrm = jnp.sqrt(jnp.sum(U * U, axis=-2, keepdims=True))
-            return U / jnp.where(nrm == 0, 1.0, nrm)
-
-        def sweep(U):
-            # U <- normalize(diag(r) G diag(c)^2 G^T diag(r) U), all j at
-            # once (diag(c) is idempotent, so M M^T needs c applied once)
-            Y = c * jnp.einsum('btvw,btvj->btwj', G, r * U,
-                               precision=jax.lax.Precision.HIGHEST)
-            Z = r * jnp.einsum('btvw,btwj->btvj', G, Y,
-                               precision=jax.lax.Precision.HIGHEST)
-            return norm_cols(Z)
-
-        # deterministic start with nonuniform weights (breaks any symmetry
-        # that could leave the start orthogonal to the leading vector)
-        U0 = norm_cols(jnp.broadcast_to(
-            (r * (1.0 + rows / n)[:, None]).astype(G.dtype), G.shape))
-        tol = 100.0 * jnp.finfo(G.dtype).eps
-
-        def cond(state):
-            U, U_prev, it = state
-            align = jnp.abs(jnp.sum(U * U_prev, axis=-2))     # (B, T, J)
-            return jnp.logical_and(it < 512, jnp.min(align) < 1.0 - tol)
-
-        def body(state):
-            U, _, it = state
-            return sweep(U), U, it + 1
-
-        U, _, _ = jax.lax.while_loop(cond, body, (sweep(U0), U0, 1))
-        # u_j is zero beyond index j (the row mask), so contracting the
-        # FULL BLV basis reproduces the per-j truncated contraction exactly
-        return jnp.einsum('btnv,btvj->btnj', Bfull, U,
-                          precision=jax.lax.Precision.HIGHEST)
 
     def intersect_host(Bh, Fh):
         """NumPy mirror of :func:`intersect` (the same masked power
@@ -799,7 +830,7 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
         return jnp.asarray(np.einsum('btnv,btvj->btnj', Bh, U))
 
     try:
-        clvs = jax.block_until_ready(intersect(Bfull, Ffull))
+        clvs = jax.block_until_ready(_subspace_intersect(Bfull, Ffull))
     except RuntimeError as err:                   # pragma: no cover - TPU
         # XlaRuntimeError (a RuntimeError) is what a remote-compile
         # helper crash surfaces as; trace-time bugs (TypeError/ValueError)
@@ -810,27 +841,41 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
         clvs = intersect_host(Bfull, Ffull)       # (B, T, n, n_vec)
     clvs = jnp.moveaxis(clvs, 1, -1)              # (B, n, n_vec, T)
 
-    # local exponents: one tangent mdt-step on the CLV matrix
+    # local exponents: one tangent mdt-step on the CLV matrix.  The
+    # compiled scan is cached by the (f, fjac, tableau) identity (the
+    # former per-call jax.jit cost a fresh executable-cache lookup on
+    # every invocation — ~2 s of remote-cache overhead per benchmark
+    # repeat on the axon tunnel)
     if tableau is None:
         tableau = rk4_tableau()
     a_t, b_t, c_t = tableau
-    tgls = make_tgls_step(f, fjac, a_t, b_t, c_t)
+
+    def build_exps():
+        tgls = make_tgls_step(f, fjac, a_t, b_t, c_t)
+
+        @jax.jit
+        def local_exps(ys, vs, mdt_):
+            def one(carry, inp):
+                y, v = inp
+                _, v2 = tgls((y, v), jnp.asarray(0.0),
+                             mdt_.astype(y.dtype))
+                _, norms = _normalize_columns(v2)
+                return carry, jnp.log(jnp.abs(norms)) / mdt_
+
+            _, exps = jax.lax.scan(
+                one, None,
+                (jnp.moveaxis(ys, -1, 0), jnp.moveaxis(vs, -1, 0)))
+            return jnp.moveaxis(exps, 0, -1)
+
+        return local_exps
+
+    local_exps = _scan_cache_get(
+        ('subspace_exps', f, fjac, _tableau_key(a_t, b_t, c_t)), build_exps)
 
     traj_ = jnp.asarray(traj).reshape(B, n, -1)
-
-    @jax.jit
-    def local_exps(ys, vs):
-        def one(carry, inp):
-            y, v = inp
-            _, v2 = tgls((y, v), jnp.asarray(0.0), jnp.asarray(mdt, dtype=y.dtype))
-            _, norms = _normalize_columns(v2)
-            return carry, jnp.log(jnp.abs(norms)) / mdt
-
-        _, exps = jax.lax.scan(one, None,
-                               (jnp.moveaxis(ys, -1, 0), jnp.moveaxis(vs, -1, 0)))
-        return jnp.moveaxis(exps, 0, -1)
-
-    exps = local_exps(traj_, clvs)
+    exps = local_exps(traj_, clvs, jnp.asarray(mdt, jnp.float64
+                                               if clvs.dtype == jnp.float64
+                                               else clvs.dtype))
 
     out = [tt_b, jnp.squeeze(traj), jnp.squeeze(exps), jnp.squeeze(clvs)]
     if return_blvs:

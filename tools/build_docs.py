@@ -90,6 +90,8 @@ GUIDES = [
      "— Ground model"),
     ("model_dynT.html", DOCS / "model" / "dynamic_T_T4.md",
      "— Dynamic T / T⁴"),
+    ("model_coefficients.html", DOCS / "model" / "coefficient_families.md",
+     "— Coefficient families"),
 ]
 
 
