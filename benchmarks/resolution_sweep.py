@@ -306,7 +306,8 @@ def main():
 
     cfg_keys = os.environ.get("QGS_RES_CONFIGS",
                               ",".join(CONFIGS)).split(",")
-    paths = os.environ.get("QGS_RES_PATHS", "coo,coo_fm,dense").split(",")
+    paths = os.environ.get("QGS_RES_PATHS",
+                           "coo,coo_fm,coo_b,dense").split(",")
     out_path = os.environ.get("QGS_RES_OUT")
     platform = jax.devices()[0].platform
 

@@ -31,7 +31,9 @@ print(f"{jax.process_count()} process(es), {jax.device_count()} devices")
 
 # The production mesh layout is `host_chip_mesh(model_axis_size)`: a 2-D
 # ('ensemble', 'model') mesh in which each model group lives inside one
-# host — its per-stage mode-space reduction psum rides ICI — while the
+# host — its per-stage model-axis collective (one all_gather for the
+# default bucketed row-partitioned kernel; psum for the dense
+# comparison kernel) rides ICI — while the
 # ensemble axis spans hosts, so the only cross-host (DCN) traffic is the
 # embarrassingly-parallel ensemble sharding.  The reference's parallel
 # layer is a single-node pool of OS processes fed by queues (ref
@@ -81,7 +83,8 @@ print("trajectories:", traj.shape, "finite:", bool(np.isfinite(traj).all()))
 
 # The model ('ICI') axis shards the tendency contraction itself over the
 # spectral modes: each device holds a slice of the tensor's rows and the
-# RK stage states are psum'd across the model group.  This is the layout
+# RK stage results are re-assembled across the model group (disjoint
+# output rows -> one all_gather, no psum).  This is the layout
 # that pays off at high resolution, where one chip cannot hold the dense
 # work of a single trajectory.
 import jax.numpy as jnp
@@ -104,7 +107,7 @@ print(f"mode-sharded RK4 step vs replicated: max |diff| = {err:.2e}")
 # process with its own virtual devices, wired through
 # `jax.distributed.initialize` + Gloo collectives — exactly the program
 # shape of a 2-host pod job.  With model_axis_size=2 each process's two
-# devices form a model group (the mode-space psum stays intra-process,
+# devices form a model group (the mode-space collective stays intra-process,
 # i.e. intra-host on a pod) while the ensemble axis spans the processes —
 # the full 2-D production mesh layout, now exercised cross-process too.
 from qgs_tpu.parallel.distributed import run_multiprocess_selftest
