@@ -332,6 +332,10 @@ def main():
               f"(built in {time.time()-t0:.0f}s)", flush=True)
         rng = np.random.default_rng(0)
 
+        # batch is NOT the high-ndim limiter for the bucketed kernel:
+        # B=2048 at ndim 600/754 measured 14.1k/7.6k traj-steps/s vs
+        # B=256's 18.2k/9.8k (r05) — per-member efficiency FALLS with
+        # batch there, so all gather rows share sizing()'s batch
         for pkey, mode in (("coo", "rowsum"), ("coo_fm", "rowsum_fm"),
                            ("coo_b", "bucketed")):
             if pkey not in paths:
