@@ -228,33 +228,36 @@ class _SymbolicIPBase:
                                         else "qgs_tpu.inner_products.symbolic"])
         except Exception:                       # pragma: no cover
             pass
-        # scrub for the pool's whole lifetime: the forkserver (and thus
-        # the workers) starts lazily at first submit, and the variable is
-        # only consulted at interpreter startup, so the parent loses
-        # nothing while the batch runs
+        # scrub ONLY while the forkserver process launches (it inherits
+        # os.environ at spawn; a process-lifetime pop would race with any
+        # concurrent thread spawning subprocesses): force the server up
+        # inside the scrubbed window, restore immediately, then run the
+        # pool against the already-running server
         saved_axon = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         try:
-            with ProcessPoolExecutor(max_workers=n_jobs,
-                                     mp_context=ctx) as ex:
-                for (ok, res), fns in zip(ex.map(_pool_integrate, payloads,
-                                                 chunksize=4), tasks):
-                    if not ok:
-                        val = self._quadrature_fallback(method, fns)
-                        warnings.warn(
-                            f"exact SymPy integration ({name}) exceeded the "
-                            f"{self.timeout}s per-integral budget; fell back "
-                            f"to numerical quadrature (value {val:.6e})",
-                            stacklevel=3)
-                        out.append(Float(val) if self.return_symbolic
-                                   else val)
-                    elif self.return_symbolic:
-                        out.append(res)
-                    else:
-                        out.append(float(res.subs(self.subs))
-                                   if self.subs else float(res))
+            from multiprocessing import forkserver as _fs
+            _fs.ensure_running()
+        except Exception:                       # pragma: no cover
+            pass
         finally:
             if saved_axon is not None:
                 os.environ["PALLAS_AXON_POOL_IPS"] = saved_axon
+        with ProcessPoolExecutor(max_workers=n_jobs, mp_context=ctx) as ex:
+            for (ok, res), fns in zip(ex.map(_pool_integrate, payloads,
+                                             chunksize=4), tasks):
+                if not ok:
+                    val = self._quadrature_fallback(method, fns)
+                    warnings.warn(
+                        f"exact SymPy integration ({name}) exceeded the "
+                        f"{self.timeout}s per-integral budget; fell back "
+                        f"to numerical quadrature (value {val:.6e})",
+                        stacklevel=3)
+                    out.append(Float(val) if self.return_symbolic else val)
+                elif self.return_symbolic:
+                    out.append(res)
+                else:
+                    out.append(float(res.subs(self.subs))
+                               if self.subs else float(res))
         return out
 
     def _run_with_timeout(self, method, fns):

@@ -203,15 +203,17 @@ class RungeKuttaIntegrator:
         # shard the ensemble across the mesh when it is worth it
         if ic2.shape[0] >= ensemble_size(self.mesh) > 1:
             ic_dev, n_orig = shard_ensemble(ic2, self.mesh)
+            batch_devices = ensemble_size(self.mesh)
         else:
             ic_dev, n_orig = jnp.asarray(ic2), ic2.shape[0]
+            batch_devices = 1
 
         if self.precision == "twofloat":
             self._check_twofloat()
             time, traj = integrate_runge_kutta_df(
                 self._qgtensor.tensor, t0, t, dt, ic_dev, forward=forward,
                 write_steps=write_steps, squeeze=False,
-                a=self.a, b=self.b, c=self.c)
+                a=self.a, b=self.b, c=self.c, batch_devices=batch_devices)
         else:
             time, traj = integrate_runge_kutta(self.func, t0, t, dt, ic_dev,
                                                forward=forward, write_steps=write_steps,

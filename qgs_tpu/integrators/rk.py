@@ -396,34 +396,47 @@ def _normalize_df_tableau(a, b, c):
 
 
 def _df_batch_chunk():
-    """Per-device-step batch chunk for the double-float kernels.  B=4096
+    """PER-DEVICE-step batch chunk for the double-float kernels.  B=4096
     is the measured VMEM knee on v5e (RESOLUTION_r04: larger batches
     REGRESS — the df gather intermediates spill to HBM); splitting the
     batch into <= 4096-member chunks evaluated sequentially inside the
     time step keeps each chunk's intermediates VMEM-resident, making
-    throughput monotone in ensemble size.  Env ``QGS_DF_BATCH_CHUNK``
-    overrides (0 disables chunking)."""
+    throughput monotone in ensemble size (KNEE_r05.json).  Env
+    ``QGS_DF_BATCH_CHUNK`` overrides (0 disables chunking)."""
     import os
     return int(os.environ.get("QGS_DF_BATCH_CHUNK", "4096"))
 
 
-def _chunk_df_apply(apply):
+def _chunk_df_apply(apply, batch_devices=1):
     """Wrap a df step ``apply(ops, y, tt, dt)`` so batches larger than the
     VMEM knee are evaluated in sequential chunks (``lax.map``).  The df
     arithmetic is per-member, so chunking does not change any member's
-    operation sequence."""
+    operation sequence.
+
+    ``batch_devices`` is the number of devices the GLOBAL batch axis is
+    sharded over (the mesh's ensemble size): the knee is per-device, so
+    the global threshold scales with it — without this, an 8-device mesh
+    at 4096/device (exactly the per-device knee, already optimal) would
+    be split into 8 sequential far-below-knee chunks.
+
+    Batches that do not divide evenly are zero-padded up to ``k * c``
+    members (the padded members are re-padded from zeros every step and
+    sliced off — their values are discarded, and the QG tendencies are
+    finite at the origin, so they cannot poison anything)."""
     def apply_chunked(ops, y, tt, dt_):
-        chunk = _df_batch_chunk()
+        chunk = _df_batch_chunk() * max(int(batch_devices), 1)
         B = jax.tree_util.tree_leaves(y)[0].shape[0]
         if chunk <= 0 or B <= chunk:
             return apply(ops, y, tt, dt_)
         k = -(-B // chunk)               # number of chunks
-        if B % k != 0:                   # keep chunks equal; pad would
-            return apply(ops, y, tt, dt_)  # change the step's shapes
-        c = B // k
+        c = -(-B // k)                   # per-chunk size (ceil)
+        pad = k * c - B
+        if pad:
+            y = _tmap(lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0), y)
         yk = _tmap(lambda x: x.reshape((k, c) + x.shape[1:]), y)
         out = jax.lax.map(lambda yc: apply(ops, yc, tt, dt_), yk)
-        return _tmap(lambda x: x.reshape((B,) + x.shape[2:]), out)
+        return _tmap(lambda x: x.reshape((k * c,) + x.shape[2:])[:B], out)
 
     return apply_chunked
 
@@ -431,10 +444,11 @@ def _chunk_df_apply(apply):
 _tmap = jax.tree_util.tree_map
 
 
-def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None):
+def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None,
+                 batch_devices=1):
     tab_key = _tableau_key(*tableau) if tableau is not None else 'rk4'
     key = (tensor, write_steps, gather, accumulate, tab_key, 'df',
-           _df_batch_chunk())
+           _df_batch_chunk(), batch_devices)
 
     def build():
         from qgs_tpu.ops.twofloat import (make_df_rk4_step_dynamic,
@@ -445,12 +459,12 @@ def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None):
         else:
             step = make_df_rk_step_dynamic(tensor, *tableau, gather=gather,
                                            accumulate=accumulate)
-        apply = _chunk_df_apply(step.apply)
+        apply = _chunk_df_apply(step.apply, batch_devices)
         # the compiled scan is shared across every same-layout model
         # (structural key); this outer cache (tensor-identity key) only
         # avoids rebuilding the host-side bucketed layout per call
         exec_fn = _scan_cache_get((step.key, write_steps, 'df_scan_exec',
-                                   _df_batch_chunk()),
+                                   _df_batch_chunk(), batch_devices),
                                   lambda: jax.jit(
             lambda ops, carry0, td: _scan_chunks(
                 lambda y, tt, dt_: apply(ops, y, tt, dt_),
@@ -463,7 +477,7 @@ def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None):
 
 def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
                              squeeze=True, gather="take", accumulate="auto",
-                             a=None, b=None, c=None):
+                             a=None, b=None, c=None, batch_devices=1):
     """Integrate the model with the fused double-float (2x float32) RK
     step (:mod:`qgs_tpu.ops.twofloat`): ~48-bit-mantissa trajectories at
     near-f32 TPU throughput.  Same time-grid/record semantics as
@@ -481,7 +495,8 @@ def integrate_runge_kutta_df(tensor, t0, t, dt, ic, forward=True, write_steps=1,
     tts, dts = directed[:-1], np.diff(directed)
 
     tableau = _normalize_df_tableau(a, b, c)
-    scan_fn = _get_df_scan(tensor, write_steps, gather, accumulate, tableau)
+    scan_fn = _get_df_scan(tensor, write_steps, gather, accumulate, tableau,
+                           batch_devices=batch_devices)
     td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
     _, recs = scan_fn(df_from_f64(ic), td_all)
     traj = jnp.moveaxis(df_to_f64(recs), 0, -1)    # (B, ndim, n_records)
@@ -517,10 +532,10 @@ def _normalize_tg_ic(tg_ic, B, n, dtype=None):
 
 
 def _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint, inverse,
-                      gather, accumulate, tableau=None):
+                      gather, accumulate, tableau=None, batch_devices=1):
     tab_key = _tableau_key(*tableau) if tableau is not None else 'rk4'
     key = (tensor, jtensor, write_steps, adjoint, inverse, gather,
-           accumulate, tab_key, 'df_tgls')
+           accumulate, tab_key, 'df_tgls', batch_devices)
 
     def build():
         from qgs_tpu.ops.twofloat import (make_df_tgls_rk4_step_dynamic,
@@ -533,9 +548,9 @@ def _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint, inverse,
             step = make_df_tgls_rk_step_dynamic(
                 tensor, jtensor, *tableau, adjoint=adjoint, inverse=inverse,
                 gather=gather, accumulate=accumulate)
-        apply = _chunk_df_apply(step.apply)
+        apply = _chunk_df_apply(step.apply, batch_devices)
         exec_fn = _scan_cache_get((step.key, write_steps, 'df_tgls_exec',
-                                   _df_batch_chunk()),
+                                   _df_batch_chunk(), batch_devices),
                                   lambda: jax.jit(
             lambda ops, carry0, td: _scan_chunks(
                 lambda carry, tt, dt_: apply(ops, carry, tt, dt_),
@@ -568,10 +583,12 @@ def integrate_runge_kutta_tgls_df(tensor, jtensor, t0, t, dt, ic, tg_ic,
     tg = _normalize_tg_ic(tg_ic, B, n, jnp.float64)
 
     n_orig = B
+    batch_devices = 1
     if mesh is not None and mesh.devices.size > 1 and B >= mesh.devices.size:
         from qgs_tpu.parallel.mesh import shard_ensemble
         ic, n_orig = shard_ensemble(ic, mesh)
         tg, _ = shard_ensemble(tg, mesh)
+        batch_devices = mesh.devices.size
 
     time = time_grid(t0, t, dt)
     directed = time if forward else time[::-1]
@@ -579,7 +596,8 @@ def integrate_runge_kutta_tgls_df(tensor, jtensor, t0, t, dt, ic, tg_ic,
 
     tableau = _normalize_df_tableau(a, b, c)
     scan_fn = _get_df_tgls_scan(tensor, jtensor, write_steps, adjoint,
-                                inverse, gather, accumulate, tableau)
+                                inverse, gather, accumulate, tableau,
+                                batch_devices=batch_devices)
     td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
     _, recs = scan_fn((df_from_f64(ic), df_from_f64(tg)), td_all)
     traj = jnp.moveaxis(df_to_f64(recs[0])[:, :n_orig], 0, -1)

@@ -359,9 +359,11 @@ def _bucketed_layout(rows, data, idx_cols, n1, max_buckets=None,
     gather/reduce subgraph, and high-resolution tensors have hundreds of
     distinct row counts (the double-float kernel at ndim 228 took ~15 min
     of remote compile with exact buckets).  Beyond the bound, thresholds
-    are quantized to ~max_buckets count quantiles — rows pad up to their
-    threshold with zero slots, which contribute exactly 0 (bit-identical
-    results, a few percent extra slots).
+    are placed by the DP of :func:`_count_thresholds` (minimum total
+    padded slots) — rows pad up to their threshold with zero slots, which
+    contribute exactly 0 (bit-identical results, a few percent extra
+    slots).  The default bound comes from :func:`default_max_buckets`
+    (env ``QGS_BUCKET_MAX``, 16).
 
     Returns ``(buckets, perm)`` where each bucket is
     ``(row_ids, vals (N_g, R_g), [idx arrays (N_g, R_g)...], R_g)`` and

@@ -80,6 +80,14 @@ def make_sharded_tendency(tensor: COO, mesh: Mesh, dtype=None,
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     if kernel in ("auto", "bucketed"):
+        if overlap_chunks != 1:
+            # the knob belongs to the dense psum pipeline; silently
+            # ignoring it would let a caller believe they are running the
+            # chunked-psum overlap program
+            raise ValueError(
+                "overlap_chunks applies to the dense kernel only (the "
+                "bucketed row-partitioned kernel has no psum to overlap) "
+                "— pass kernel='dense' to use it")
         return make_bucketed_sharded_tendency(tensor, mesh, dtype=dtype)
     if kernel != "dense":
         raise ValueError(f"unknown sharded kernel {kernel!r}: expected "

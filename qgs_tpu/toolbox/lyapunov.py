@@ -701,7 +701,17 @@ def _subspace_intersect(Bfull, Ffull):
 
     Module-level jit: retraced per (B, T, n) shape, the executable reused
     across calls (a per-call jit object cost a fresh compile-cache lookup
-    every invocation)."""
+    every invocation).
+
+    Convergence caveat: the iteration contracts as (sigma_2/sigma_1)^2
+    per sweep, so for NEAR-DEGENERATE principal-angle pairs (nearly equal
+    exponents — e.g. symmetric mode pairs) the sweep cap leaves the
+    returned vector mixed within the near-degenerate plane.  This is the
+    regime where finite-time CLVs are ill-conditioned for EVERY method
+    (an exact SVD of the finite-time overlap returns an equally arbitrary
+    member of the plane, and the Ginelli backward pass converges at the
+    same gap rate); the cross-method test compares Oseledets FLAGS, which
+    are the well-defined objects there."""
     n = Bfull.shape[-1]
     G = jnp.einsum('btnv,btnw->btvw', Bfull, Ffull,
                    precision=jax.lax.Precision.HIGHEST)      # (B, T, n, n)
@@ -873,9 +883,7 @@ def compute_clvs_subspace(f, fjac, t0, ta, tb, tc, dt, mdt, ic, write_steps=1,
         ('subspace_exps', f, fjac, _tableau_key(a_t, b_t, c_t)), build_exps)
 
     traj_ = jnp.asarray(traj).reshape(B, n, -1)
-    exps = local_exps(traj_, clvs, jnp.asarray(mdt, jnp.float64
-                                               if clvs.dtype == jnp.float64
-                                               else clvs.dtype))
+    exps = local_exps(traj_, clvs, jnp.asarray(mdt, clvs.dtype))
 
     out = [tt_b, jnp.squeeze(traj), jnp.squeeze(exps), jnp.squeeze(clvs)]
     if return_blvs:

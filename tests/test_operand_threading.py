@@ -228,30 +228,37 @@ def test_bucket_ladder_quantization_bit_identical(two_models):
                                          make_bucketed_contraction,
                                          jit_contraction)
 
+    import os
+
     (_, _, ta), _ = two_models
     T = ta.tensor
     rng = np.random.default_rng(3)
     xx = jnp.asarray(rng.random((5, T.shape[0])) * 0.1)
 
-    exact = np.asarray(jit_contraction(make_bucketed_contraction(T))(xx))
-    groups, _, _ = _active_index_groups(T, False)
-    for K in (2, 3, 5):
-        # force quantization (MAOOAM has ~10 distinct counts per group)
-        for d_eff, g_rows, g_data, idx_cols in groups:
-            counts = np.bincount(g_rows, minlength=T.shape[0])
-            thr = _count_thresholds(counts, K)
-            assert len(thr) <= K
-            assert max(thr) >= counts.max()
-            buckets, _ = _bucketed_layout(g_rows, g_data, list(idx_cols),
-                                          T.shape[0], max_buckets=K)
-            assert len(buckets) <= K
-        import os
-        os.environ["QGS_BUCKET_MAX"] = str(K)
-        try:
+    saved = os.environ.get("QGS_BUCKET_MAX")
+    try:
+        # the exact baseline must not depend on the ambient ladder setting
+        os.environ["QGS_BUCKET_MAX"] = "1000000"
+        exact = np.asarray(jit_contraction(make_bucketed_contraction(T))(xx))
+        groups, _, _ = _active_index_groups(T, False)
+        for K in (2, 3, 5):
+            # force quantization (MAOOAM has ~10 distinct counts per group)
+            for d_eff, g_rows, g_data, idx_cols in groups:
+                counts = np.bincount(g_rows, minlength=T.shape[0])
+                thr = _count_thresholds(counts, K)
+                assert len(thr) <= K
+                assert max(thr) >= counts.max()
+                buckets, _ = _bucketed_layout(g_rows, g_data, list(idx_cols),
+                                              T.shape[0], max_buckets=K)
+                assert len(buckets) <= K
+            os.environ["QGS_BUCKET_MAX"] = str(K)
             got = np.asarray(jit_contraction(make_bucketed_contraction(T))(xx))
-        finally:
+            assert np.array_equal(got, exact), K
+    finally:
+        if saved is None:
             os.environ.pop("QGS_BUCKET_MAX", None)
-        assert np.array_equal(got, exact), K
+        else:
+            os.environ["QGS_BUCKET_MAX"] = saved
 
 
 def test_tgls_twofloat_accepts_rebuilt_jacobian(two_models):
