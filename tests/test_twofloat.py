@@ -370,3 +370,45 @@ def test_df_integrator_rk2_precision_twofloat(maooam):
     integ2.set_func(f)
     with pytest.raises(ValueError, match="explicit"):
         integ2.integrate(0., 1., 0.1, ic=x0, write_steps=0)
+
+
+def test_df_batch_chunking_padded_and_scaled(maooam):
+    """Batch chunking past the VMEM knee (KNEE_r05): odd batches are
+    zero-padded to equal lax.map chunks (not silently unchunked), results
+    match the unchunked program to the backend's EFT noise, and a
+    mesh-sharded run scales the per-device knee by batch_devices (here 8
+    virtual devices x 4096 > B, so the program stays unchunked)."""
+    import os
+    from qgs_tpu.integrators.rk import integrate_runge_kutta_df
+
+    pars, f, tensor = maooam
+    rng = np.random.default_rng(0)
+    ic = rng.random((130, pars.ndim)) * 0.01   # odd B, > tiny chunk
+
+    saved = os.environ.get("QGS_DF_BATCH_CHUNK")
+    try:
+        os.environ["QGS_DF_BATCH_CHUNK"] = "64"   # force k=3 chunks of 44
+        _, y1 = integrate_runge_kutta_df(tensor.tensor, 0., 0.5, 0.1, ic,
+                                         write_steps=0)
+        os.environ["QGS_DF_BATCH_CHUNK"] = "0"
+        _, y2 = integrate_runge_kutta_df(tensor.tensor, 0., 0.5, 0.1, ic,
+                                         write_steps=0)
+        d = np.abs(np.asarray(y1) - np.asarray(y2)).max()
+        assert np.isfinite(np.asarray(y1)).all()
+        # identical per-member arithmetic; the CPU backend's stripped EFT
+        # barriers leave fusion-level noise, far below trajectory scale
+        assert d < 1e-9, d
+
+        # batch_devices scales the knee: with 8 "devices" the global
+        # threshold is 512 >= B, so the chunked and plain programs agree
+        # exactly in shape handling (finite, same result class)
+        os.environ["QGS_DF_BATCH_CHUNK"] = "64"
+        _, y3 = integrate_runge_kutta_df(tensor.tensor, 0., 0.5, 0.1, ic,
+                                         write_steps=0, batch_devices=8)
+        assert np.isfinite(np.asarray(y3)).all()
+        assert np.abs(np.asarray(y3) - np.asarray(y2)).max() < 1e-9
+    finally:
+        if saved is None:
+            os.environ.pop("QGS_DF_BATCH_CHUNK", None)
+        else:
+            os.environ["QGS_DF_BATCH_CHUNK"] = saved
