@@ -211,7 +211,12 @@ def _build_tier(tensor, ndim, tier, ens, steps):
     f_batched, _ = make_tendency_fns(tensor.tensor, tensor.jacobian_tensor,
                                      dtype=dtype)
     a, b, c = rk4_tableau()
-    step = make_rk_step(f_batched, a, b, c)
+    from qgs_tpu.integrators.rk import _chunk_plain_step
+    mesh = ensemble_mesh()
+    # past-the-knee batches go through the production batch chunking
+    # (QGS_F32_BATCH_CHUNK, per device) exactly as the integrators do
+    step = _chunk_plain_step(make_rk_step(f_batched, a, b, c),
+                             batch_devices=max(mesh.devices.size, 1))
 
     @jax.jit
     def run(y):
@@ -221,7 +226,6 @@ def _build_tier(tensor, ndim, tier, ens, steps):
         return jax.lax.fori_loop(0, steps, body, y)
 
     y0 = jnp.asarray(y0_np, dtype=dtype)
-    mesh = ensemble_mesh()
     if mesh.devices.size > 1:
         y0, _ = shard_ensemble(y0, mesh)
     return run, y0, lambda y: bool(np.isfinite(np.asarray(y[:1])).all())

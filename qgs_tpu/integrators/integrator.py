@@ -218,7 +218,8 @@ class RungeKuttaIntegrator:
             time, traj = integrate_runge_kutta(self.func, t0, t, dt, ic_dev,
                                                forward=forward, write_steps=write_steps,
                                                b=self.b, c=self.c, a=self.a,
-                                               squeeze=False)
+                                               squeeze=False,
+                                               batch_devices=batch_devices)
         # un-pad, then squeeze to the reference output shape conventions
         traj = traj[:n_orig]
         self._time = time

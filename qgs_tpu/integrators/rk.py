@@ -254,23 +254,64 @@ def _operand_form(fn):
     return apply, key
 
 
-def _get_plain_scan(f, a, b, c, write_steps):
+def _float_batch_chunk():
+    """PER-DEVICE-step batch chunk for the single-float kernels.  B=16384
+    is the measured throughput peak on v5e at MAOOAM scale (34.8M
+    traj-steps/s; B=32768 REGRESSES to 25.9M — the same VMEM-spill knee
+    the double-float path hits at 4096, just 4x later because f32
+    intermediates are half the bytes and the df kernel carries hi/lo
+    pairs).  Splitting larger batches into <= 16384-member chunks
+    evaluated sequentially inside the time step keeps throughput
+    monotone in ensemble size (same design as :func:`_df_batch_chunk`).
+    Env ``QGS_F32_BATCH_CHUNK`` overrides (0 disables chunking)."""
+    import os
+    return int(os.environ.get("QGS_F32_BATCH_CHUNK", "16384"))
+
+
+def _chunk_plain_step(step, batch_devices=1):
+    """Wrap a plain step ``step(y, tt, dt) -> y_new`` so batches larger
+    than the f32 VMEM knee are evaluated in sequential chunks
+    (``lax.map``) — the single-float analogue of :func:`_chunk_df_apply`
+    (see there for the ``batch_devices`` / zero-padding semantics).  The
+    per-member arithmetic is unchanged, so chunking is bit-identical."""
+    def stepped(y, tt, dt_):
+        chunk = _float_batch_chunk() * max(int(batch_devices), 1)
+        B = y.shape[0]
+        if chunk <= 0 or B <= chunk:
+            return step(y, tt, dt_)
+        k = -(-B // chunk)               # number of chunks
+        c = -(-B // k)                   # per-chunk size (ceil)
+        pad = k * c - B
+        if pad:
+            y = jnp.concatenate(
+                [y, jnp.zeros((pad,) + y.shape[1:], y.dtype)], axis=0)
+        yk = y.reshape((k, c) + y.shape[1:])
+        out = jax.lax.map(lambda yc: step(yc, tt, dt_), yk)
+        return out.reshape((k * c,) + out.shape[2:])[:B]
+
+    return stepped
+
+
+def _get_plain_scan(f, a, b, c, write_steps, batch_devices=1):
     apply, fkey = _operand_form(f)
     # operand-threading functions are cached by their *structural* key, so
     # every same-shape model (new parameter values, same resolution) reuses
     # one compiled scan with its tensors passed as device arguments —
     # identity keys (plain callables) keep the strong-ref behavior below
     key = (fkey if fkey is not None else f,
-           _tableau_key(a, b, c), write_steps, 'plain')
+           _tableau_key(a, b, c), write_steps, 'plain',
+           _float_batch_chunk(), batch_devices)
 
     def build():
         if apply is None:
-            step = make_rk_step(f, a, b, c)
+            step = _chunk_plain_step(make_rk_step(f, a, b, c), batch_devices)
             return jax.jit(lambda carry0, td: _scan_chunks(
                 lambda y, tt, dt_: step(y, tt, dt_), carry0, td, write_steps))
 
         def run(operands, carry0, td):
-            step = make_rk_step(lambda t, x: apply(operands, t, x), a, b, c)
+            step = _chunk_plain_step(
+                make_rk_step(lambda t, x: apply(operands, t, x), a, b, c),
+                batch_devices)
             return _scan_chunks(lambda y, tt, dt_: step(y, tt, dt_),
                                 carry0, td, write_steps)
 
@@ -341,7 +382,8 @@ def infer_ndim(f):
 
 
 def integrate_runge_kutta(f, t0, t, dt, ic=None, forward=True, write_steps=1,
-                          b=None, c=None, a=None, squeeze=True):
+                          b=None, c=None, a=None, squeeze=True,
+                          batch_devices=1):
     """Integrate dx/dt = f(t, x) over [t0, t] for a batch of initial
     conditions; reference-compatible wrapper returning
     ``(times, traj)`` with traj shaped (B, ndim, n_records) (squeezed).
@@ -360,7 +402,8 @@ def integrate_runge_kutta(f, t0, t, dt, ic=None, forward=True, write_steps=1,
     directed = time if forward else time[::-1]
     tts, dts = directed[:-1], np.diff(directed)
 
-    scan_fn = _get_plain_scan(f, a, b, c, write_steps)
+    scan_fn = _get_plain_scan(f, a, b, c, write_steps,
+                              batch_devices=batch_devices)
     td_all = jnp.stack([jnp.asarray(tts), jnp.asarray(dts)], axis=1)
     _, recs = scan_fn(ic, td_all)
     traj = jnp.moveaxis(recs, 0, -1)           # (B, ndim, n_records)

@@ -200,3 +200,39 @@ def test_dimension_autoprobe():
     integ.set_func(f)
     integ.initialize(10., 0.1, number_of_trajectories=2)
     assert integ.get_ic().shape == (2, pars.ndim)
+
+
+def test_float_batch_chunking_identical():
+    """Single-float batch chunking past the f32 VMEM knee (the plain-path
+    analogue of the df chunking, ``QGS_F32_BATCH_CHUNK``): chunked
+    integration is BIT-identical to the unchunked program (per-member
+    arithmetic is unchanged), odd batches are zero-padded/sliced, and
+    ``batch_devices`` scales the per-device threshold so an at-knee
+    sharded batch stays unchunked."""
+    import os
+
+    pars = _rp_params()
+    f, Df = create_tendencies(pars)
+    rng = np.random.default_rng(11)
+    ic = rng.random((10, pars.ndim)) * 0.05    # odd vs chunk of 3
+
+    saved = os.environ.get("QGS_F32_BATCH_CHUNK")
+    try:
+        os.environ["QGS_F32_BATCH_CHUNK"] = "0"
+        _, y_plain = integrate_runge_kutta(f.batched, 0., 5., 0.1, ic,
+                                           write_steps=10)
+        os.environ["QGS_F32_BATCH_CHUNK"] = "3"  # k=4 chunks, pad 2
+        _, y_chunk = integrate_runge_kutta(f.batched, 0., 5., 0.1, ic,
+                                           write_steps=10)
+        assert np.asarray(y_chunk).shape == np.asarray(y_plain).shape
+        assert (np.asarray(y_chunk) == np.asarray(y_plain)).all()
+
+        # per-device knee scaling: 8 "devices" x 3 > B keeps it unchunked
+        _, y_dev = integrate_runge_kutta(f.batched, 0., 5., 0.1, ic,
+                                         write_steps=10, batch_devices=8)
+        assert (np.asarray(y_dev) == np.asarray(y_plain)).all()
+    finally:
+        if saved is None:
+            os.environ.pop("QGS_F32_BATCH_CHUNK", None)
+        else:
+            os.environ["QGS_F32_BATCH_CHUNK"] = saved
