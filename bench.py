@@ -193,10 +193,16 @@ def _build_tier(tensor, ndim, tier, ens, steps):
 
     if tier == "twofloat":
         # double-float (2x f32) tier: ~48-bit mantissa at near-f32 speed —
-        # the fidelity + throughput middle point (see qgs_tpu/ops/twofloat.py)
+        # the fidelity + throughput middle point (see qgs_tpu/ops/twofloat.py).
+        # Past-the-knee batches go through the production df batch chunking
+        # (QGS_DF_BATCH_CHUNK, per device) exactly as the integrators do.
         from qgs_tpu.ops.twofloat import make_df_rk4_step, df_from_f64
+        from qgs_tpu.integrators.rk import _chunk_batched, _df_batch_chunk
 
-        step = make_df_rk4_step(tensor.tensor, 0.1)
+        mesh = ensemble_mesh()
+        step = _chunk_batched(make_df_rk4_step(tensor.tensor, 0.1),
+                              _df_batch_chunk,
+                              batch_devices=max(mesh.devices.size, 1))
 
         @jax.jit
         def run(y):

@@ -29,6 +29,7 @@ _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -37,20 +38,21 @@ BATCHES = (2048, 4096, 8192, 16384)
 BATCHES_F32 = (8192, 16384, 32768, 65536)
 
 
-def _measure(runners, ops, make_y0, batches, get_probe):
-    """Best-of-3 steady-state timing of each (variant, B) point."""
+def _measure(runners, make_y0, batches, get_probe):
+    """Best-of-3 steady-state timing of each (variant, B) ``run(y)``
+    point (operand threading, if any, is closed over by the runner)."""
     import jax
 
     points = []
     for B in batches:
         y0 = make_y0(B)
         for name, run in runners.items():
-            y = run(ops, y0)
+            y = run(y0)
             jax.block_until_ready(y)
             best = None
             for _ in range(3):
                 t0 = time.perf_counter()
-                y = run(ops, y)
+                y = run(y)
                 jax.block_until_ready(y)
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
@@ -129,11 +131,13 @@ def main():
             def run_impl(ops, y, ap=ap):
                 return jax.lax.fori_loop(
                     0, STEPS, lambda i, y: ap(ops, y, dt0, dt), y)
-            runners[name] = jax.jit(run_impl)
+            # operands stay jit ARGUMENTS (not baked constants); the
+            # runner binds them at call time
+            runners[name] = partial(jax.jit(run_impl), step.operands)
 
         print("double-float tier:", flush=True)
         points = _measure(
-            runners, step.operands,
+            runners,
             lambda B: df_from_f64(jnp.asarray(rng.random((B, ndim)) * 0.01)),
             BATCHES, lambda y: y[0])
         doc.update({
@@ -157,16 +161,14 @@ def main():
             variants["unchunked"] = base
         runners = {}
         for name, st in variants.items():
-            def run_impl(ops, y, st=st):
-                # ops unused: the f32 step closes over its operands, but
-                # _measure threads a shared positional slot
+            def run_impl(y, st=st):
                 return jax.lax.fori_loop(
                     0, STEPS, lambda i, y: st(y, dt0f, dtf), y)
             runners[name] = jax.jit(run_impl)
 
         print("float32 tier:", flush=True)
         points = _measure(
-            runners, None,
+            runners,
             lambda B: jnp.asarray(rng.random((B, ndim)) * 0.01, jnp.float32),
             BATCHES_F32, lambda y: y)
         doc.update({

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_tmap = jax.tree_util.tree_map
+
 
 def rk4_tableau(dtype=jnp.float64):
     """The classical RK4 Butcher tableau (reference default)."""
@@ -268,26 +270,49 @@ def _float_batch_chunk():
     return int(os.environ.get("QGS_F32_BATCH_CHUNK", "16384"))
 
 
-def _chunk_plain_step(step, batch_devices=1):
-    """Wrap a plain step ``step(y, tt, dt) -> y_new`` so batches larger
-    than the f32 VMEM knee are evaluated in sequential chunks
-    (``lax.map``) — the single-float analogue of :func:`_chunk_df_apply`
-    (see there for the ``batch_devices`` / zero-padding semantics).  The
-    per-member arithmetic is unchanged, so chunking is bit-identical."""
-    def stepped(y, tt, dt_):
-        chunk = _float_batch_chunk() * max(int(batch_devices), 1)
-        B = y.shape[0]
+def _chunk_batched(call, chunk_of, batch_devices=1):
+    """Wrap ``call(y_pytree) -> y_pytree`` (same leading batch axis) so
+    per-device batches larger than the VMEM knee ``chunk_of()`` are
+    evaluated in sequential chunks (``lax.map``) — the shared machinery
+    behind :func:`_chunk_df_apply` and :func:`_chunk_plain_step`.
+
+    ``batch_devices`` is the number of devices the GLOBAL batch axis is
+    sharded over (the mesh's ensemble size): the knee is per-device, so
+    the global threshold scales with it — without this, an 8-device mesh
+    at knee/device (already optimal) would be split into 8 sequential
+    far-below-knee chunks.
+
+    Batches that do not divide evenly are zero-padded up to ``k * c``
+    members (the padded members are re-padded from zeros every step and
+    sliced off — their values are discarded, and the QG tendencies are
+    finite at the origin, so they cannot poison anything).  Per-member
+    arithmetic is unchanged, so chunking is bit-identical."""
+    def chunked(y):
+        chunk = chunk_of() * max(int(batch_devices), 1)
+        B = jax.tree_util.tree_leaves(y)[0].shape[0]
         if chunk <= 0 or B <= chunk:
-            return step(y, tt, dt_)
+            return call(y)
         k = -(-B // chunk)               # number of chunks
         c = -(-B // k)                   # per-chunk size (ceil)
         pad = k * c - B
         if pad:
-            y = jnp.concatenate(
-                [y, jnp.zeros((pad,) + y.shape[1:], y.dtype)], axis=0)
-        yk = y.reshape((k, c) + y.shape[1:])
-        out = jax.lax.map(lambda yc: step(yc, tt, dt_), yk)
-        return out.reshape((k * c,) + out.shape[2:])[:B]
+            y = _tmap(lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0), y)
+        yk = _tmap(lambda x: x.reshape((k, c) + x.shape[1:]), y)
+        out = jax.lax.map(call, yk)
+        return _tmap(lambda x: x.reshape((k * c,) + x.shape[2:])[:B], out)
+
+    return chunked
+
+
+def _chunk_plain_step(step, batch_devices=1):
+    """Wrap a plain step ``step(y, tt, dt) -> y_new`` so batches larger
+    than the f32 VMEM knee are evaluated in sequential chunks — the
+    single-float analogue of :func:`_chunk_df_apply` (semantics in
+    :func:`_chunk_batched`)."""
+    def stepped(y, tt, dt_):
+        return _chunk_batched(lambda yc: step(yc, tt, dt_),
+                              _float_batch_chunk, batch_devices)(y)
 
     return stepped
 
@@ -452,39 +477,13 @@ def _df_batch_chunk():
 
 def _chunk_df_apply(apply, batch_devices=1):
     """Wrap a df step ``apply(ops, y, tt, dt)`` so batches larger than the
-    VMEM knee are evaluated in sequential chunks (``lax.map``).  The df
-    arithmetic is per-member, so chunking does not change any member's
-    operation sequence.
-
-    ``batch_devices`` is the number of devices the GLOBAL batch axis is
-    sharded over (the mesh's ensemble size): the knee is per-device, so
-    the global threshold scales with it — without this, an 8-device mesh
-    at 4096/device (exactly the per-device knee, already optimal) would
-    be split into 8 sequential far-below-knee chunks.
-
-    Batches that do not divide evenly are zero-padded up to ``k * c``
-    members (the padded members are re-padded from zeros every step and
-    sliced off — their values are discarded, and the QG tendencies are
-    finite at the origin, so they cannot poison anything)."""
+    df VMEM knee are evaluated in sequential chunks (semantics in
+    :func:`_chunk_batched`)."""
     def apply_chunked(ops, y, tt, dt_):
-        chunk = _df_batch_chunk() * max(int(batch_devices), 1)
-        B = jax.tree_util.tree_leaves(y)[0].shape[0]
-        if chunk <= 0 or B <= chunk:
-            return apply(ops, y, tt, dt_)
-        k = -(-B // chunk)               # number of chunks
-        c = -(-B // k)                   # per-chunk size (ceil)
-        pad = k * c - B
-        if pad:
-            y = _tmap(lambda x: jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0), y)
-        yk = _tmap(lambda x: x.reshape((k, c) + x.shape[1:]), y)
-        out = jax.lax.map(lambda yc: apply(ops, yc, tt, dt_), yk)
-        return _tmap(lambda x: x.reshape((k * c,) + x.shape[2:])[:B], out)
+        return _chunk_batched(lambda yc: apply(ops, yc, tt, dt_),
+                              _df_batch_chunk, batch_devices)(y)
 
     return apply_chunked
-
-
-_tmap = jax.tree_util.tree_map
 
 
 def _get_df_scan(tensor, write_steps, gather, accumulate, tableau=None,
