@@ -78,11 +78,11 @@ BASELINE_FROZEN = 1.008e6
 def _tier_sizes(tier):
     """(ensemble, steps) for a tier — f64 is ~60x slower (XLA-emulated), so
     it gets a proportionally smaller measurement unless explicitly sized.
-    The f32 kernel keeps scaling past the twofloat tier's VMEM knee
-    (measured round 5: 29.4M @ B=4096, 32.5M @ 8192, 34.8M @ 16384,
-    25.9M @ 32768), so its default operating point is B=16384; twofloat
-    peaks at B=4096 (larger batches go through the chunked lax.map path,
-    which serializes chunks and costs ~25%)."""
+    Both compute tiers run their measured-best operating point, B=16384
+    (round-5 sweeps on v5e, production batch chunking active past each
+    tier's VMEM knee): f32 29.4M @ B=4096, 34.8M @ 16384, 25.9M @ 32768
+    unchunked (33.5M chunked); twofloat 13.64M @ 4096, 13.78M @ 16384
+    (4 chunks of the 4096 knee), 13.39M @ 32768."""
     ens = ENSEMBLE
     steps = STEPS
     if tier == "float64":
@@ -90,7 +90,7 @@ def _tier_sizes(tier):
             ens = min(ens, 256)
         if "QGS_BENCH_STEPS" not in os.environ:
             steps = min(steps, 50)
-    elif tier == "float32":
+    elif tier in ("float32", "twofloat"):
         if "QGS_BENCH_ENSEMBLE" not in os.environ:
             ens = max(ens, 16384)
     return ens, steps
