@@ -93,6 +93,11 @@ def _tier_sizes(tier):
     elif tier in ("float32", "twofloat"):
         if "QGS_BENCH_ENSEMBLE" not in os.environ:
             ens = max(ens, 16384)
+        # the remote-dispatch overhead (~50 ms/run through the axon
+        # tunnel) is not TPU throughput; 5000-step runs amortize it to
+        # <1% (production integrations are millions of steps)
+        if "QGS_BENCH_STEPS" not in os.environ:
+            steps = max(steps, 5000)
     return ens, steps
 
 
